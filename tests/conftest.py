@@ -1,0 +1,23 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip code paths are validated with XLA host-platform device faking
+(the reference has no multi-node test story at all — SURVEY.md §4.7); the
+driver separately dry-runs the sharded path via __graft_entry__.py.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: this CPU is slow at XLA compilation; cache makes
+# repeat test runs cheap.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
