@@ -75,6 +75,10 @@ class BlockSpec:
     downsample: Optional[UnitSpec] = None
     residual: bool = True
     post_activation: Optional[str] = None
+    # False for residual structures the reference does NOT register in
+    # `specials` (MNASNet, quant_block.py:242-248): no block-level act
+    # quantizer, and reconstruction happens per-unit.
+    block_act_quant: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -317,9 +321,9 @@ def _node_forward(node: Node, params, qstate, x, ctx: _Ctx):
     if node.residual:
         out = out + residual
     out = _activation(node.post_activation, out)
-    aq_on = node.name in ctx.flags.act_on
+    aq_on = node.name in ctx.flags.act_on and node.block_act_quant
     if ctx.mode == "init_act":
-        aq_on = node.name in ctx.act_bits
+        aq_on = node.name in ctx.act_bits and node.block_act_quant
     if aq_on:
         out = _apply_act_quant(node.name, out, qstate.get(node.name), ctx)
     _maybe_capture_post(node.name, out, ctx)
@@ -341,6 +345,25 @@ def forward(graph: Graph, params, qstate, x, flags: Flags = Flags(),
     if capture is not None:
         raise KeyError(f"capture target {capture!r} not found in graph")
     return out
+
+
+def apply_node(node: Node, params, qstate, x, flags: Flags = Flags()):
+    """Forward a single unit/block on its own input — the subject of a
+    reconstruction step (the reference's ``layer(cur_inp)`` /
+    ``block(cur_inp)``, layer_recon_fused_shiftedScale.py:100,186)."""
+    ctx = _Ctx(flags, "run", None, None, None, None)
+    return _node_forward(node, params, qstate, x, ctx)
+
+
+def node_unit_names(node: Node):
+    """Unit names inside a node (downsample included), in the reference's
+    module-iteration order."""
+    if isinstance(node, UnitSpec):
+        return [node.name]
+    names = [u.name for u in node.units]
+    if node.downsample is not None:
+        names.append(node.downsample.name)
+    return names
 
 
 def init_act_quant(graph: Graph, params, qstate, x, flags: Flags,

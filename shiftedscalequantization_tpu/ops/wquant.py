@@ -52,9 +52,11 @@ class UniformWQ:
 
 
 def _bshape(a, w):
-    """Broadcast per-out-channel (OC,1) params against an (OC,...) weight."""
+    """Broadcast per-out-channel (OC,1) params against an (OC,...) weight.
+    Already-full-rank params (e.g. per-(oc,ic) effective deltas after
+    update_delta) pass through unchanged."""
     a = jnp.asarray(a)
-    if a.ndim == 0:
+    if a.ndim == 0 or a.ndim == w.ndim:
         return a
     return a.reshape((a.shape[0],) + (1,) * (w.ndim - 1))
 
@@ -74,6 +76,10 @@ class AdaRoundWQ:
     qp: QParams
     alpha: jax.Array          # weight-shaped rounding logits
     soft: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # BRECQ AdaRound always clamps unsigned (adaptive_rounding.py:58);
+    # ChannelQuant's 'adaround' mode clamps sym-aware (channelQuant.py:72-75)
+    signed_clamp: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=False)
 
     def __call__(self, w):
         delta = _bshape(self.qp.delta, w)
@@ -83,9 +89,11 @@ class AdaRoundWQ:
             x_int = x_floor + Q.rectified_sigmoid(self.alpha)
         else:
             x_int = x_floor + (self.alpha >= 0).astype(w.dtype)
-        # reference AdaRound always clamps to the unsigned range
-        # (adaptive_rounding.py:58)
-        x_q = jnp.clip(x_int + zp, 0, self.qp.n_levels - 1)
+        if self.signed_clamp and self.qp.sym:
+            lo, hi = -(self.qp.n_levels // 2), self.qp.n_levels // 2 - 1
+        else:
+            lo, hi = 0, self.qp.n_levels - 1
+        x_q = jnp.clip(x_int + zp, lo, hi)
         return (x_q - zp) * delta
 
 
@@ -116,14 +124,19 @@ class ShiftedScaleWQ:
     """
     qp: QParams
     alpha: jax.Array
-    beta: jax.Array
-    x_q: jax.Array                  # (S, *w.shape) floor codes
+    beta: Optional[jax.Array]
+    x_q: jax.Array                  # (S, *w.shape) floor codes / dequant values
     shift_targets: Tuple[float, ...] = dataclasses.field(
         metadata=dict(static=True))
     hard_targets: bool = dataclasses.field(metadata=dict(static=True),
                                            default=False)
     hard_round: bool = dataclasses.field(metadata=dict(static=True),
                                          default=False)
+    # codes=True: fused 'adaShift' mode, x_q are floor codes (channelQuant.py
+    # init_v_beta:279-294). codes=False: two-phase 'learned_hard_sigmoid'
+    # mode, x_q are full fake-quant values and forward is the bare mixture
+    # (channelQuant.py:81-82 with init_v:201-213).
+    codes: bool = dataclasses.field(metadata=dict(static=True), default=True)
 
     # -- selection --------------------------------------------------------
     def soft_targets(self):
@@ -138,6 +151,8 @@ class ShiftedScaleWQ:
         return _mix(self.x_q, p)
 
     def __call__(self, w):
+        if not self.codes:
+            return self.mix_codes(w.dtype)
         delta = _bshape(self.qp.delta, w)
         zp = _bshape(self.qp.zero_point, w)
         x_floor = self.mix_codes(w.dtype)
@@ -226,6 +241,39 @@ def init_shifted_scale(qp: QParams, w: jax.Array,
     rest = w / delta_eff - jnp.floor(w / delta_eff)
     beta = Q.inverse_rectified_sigmoid(rest)
     return dataclasses.replace(wq, beta=beta)
+
+
+def init_shifted_scale_twophase(qp: QParams, w: jax.Array,
+                                shift_targets: Tuple[float, ...],
+                                clip: Optional[float] = None) -> ShiftedScaleWQ:
+    """Two-phase shift-phase init (reference channelQuant.py:201-213 init_v):
+    candidates are *full fake-quant values* at each shifted step size; the
+    forward is the bare soft/hard mixture ('learned_hard_sigmoid')."""
+    delta = _bshape(qp.delta, w)
+    zp = _bshape(qp.zero_point, w)
+    lo, hi = qp.qrange()
+    cands = []
+    for st in shift_targets:
+        x_int = jnp.round(w / (delta * st))
+        x_qc = jnp.clip(x_int + zp, lo, hi)
+        cands.append((x_qc - zp) * (delta * st))
+    x_q = jnp.stack(cands)
+    alpha = init_alpha_from_mse(w, x_q, len(shift_targets),
+                                clip=0.33 if clip is None else clip)
+    return ShiftedScaleWQ(qp=qp, alpha=alpha, beta=None, x_q=x_q,
+                          shift_targets=tuple(shift_targets), codes=False)
+
+
+def bake_shift_to_adaround(wq: ShiftedScaleWQ, w: jax.Array) -> AdaRoundWQ:
+    """Two-phase transition: bake chosen shifts into a per-(oc,ic) delta
+    (reference update_delta, channelQuant.py:296-298) then init AdaRound
+    beta on it (init_beta, channelQuant.py:300-307; sym-aware clamp)."""
+    delta_eff = wq.effective_delta(w)
+    qp = dataclasses.replace(wq.qp, delta=delta_eff)
+    x_floor = jnp.floor(w / delta_eff)
+    rest = w / delta_eff - x_floor
+    beta = Q.inverse_rectified_sigmoid(rest)
+    return AdaRoundWQ(qp=qp, alpha=beta, soft=True, signed_clamp=True)
 
 
 def rank_shift_candidates(qp: QParams, w: jax.Array, num_of_candi: int = 3):

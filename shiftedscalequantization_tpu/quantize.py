@@ -95,9 +95,11 @@ def reconstruction_targets(graph: Graph, block_level: bool = True):
             if node.name != first:
                 targets.append(node.name)
         elif isinstance(node, BlockSpec):
-            if block_level:
+            if block_level and node.block_act_quant:
                 targets.append(node.name)
             else:
+                # per-unit recon (also for non-`specials` residual structures
+                # like MNASNet, quant_block.py:242-248)
                 targets.extend(u.name for u in node.units)
                 if node.downsample is not None:
                     targets.append(node.downsample.name)
@@ -120,7 +122,8 @@ def act_quant_sites(graph: Graph, cfg: QuantConfig,
             for u in node.units:
                 if not u.disable_act_quant:
                     sites[u.name] = abit_override.get(u.name, cfg.n_bits_a)
-            sites[node.name] = cfg.n_bits_a
+            if node.block_act_quant:
+                sites[node.name] = cfg.n_bits_a
     if disable_output_quant and order[-1] in sites:
         del sites[order[-1]]
     return sites

@@ -1,0 +1,383 @@
+"""Generic per-unit/per-block reconstruction engine.
+
+Reimplements the reference's four reconstruction loops as one jitted
+lax.scan optimizer over an explicit theta pytree:
+
+  * mode='fused'     — joint shift+round (layer/block_recon_fused_shiftedScale,
+                       reference layer_recon_fused_shiftedScale.py:23-221):
+                       optimize the shift-selection logits alpha (beta fixed,
+                       matching the reference where beta is not in opt_params,
+                       :65-66), FusedScaleLossFunction regs with dual temp
+                       decay (round reg over iters, shift reg over 3/4·iters).
+  * mode='brecq'     — AdaRound (layer_recon.py:10-105 / block_recon.py):
+                       optimize rounding logits with the relaxation reg.
+  * mode='shift'     — two-phase, phase 1 (layer_recon_shiftedScale.py:262-338):
+                       optimize alpha with the entropy regularizer.
+  * mode='round'     — two-phase, phase 2: bake shifts into per-(oc,ic)
+                       deltas (update_delta) and AdaRound on them.
+  * mode='act_delta' — activation-scale learning (layer_recon.py:57-61 act
+                       branch): Adam + cosine LR on act deltas, no reg.
+
+TPU-first: iterations (minibatch sampling via PRNG permutation, node
+forward, loss + temperature schedule, grads, Adam update) run as chunked
+lax.scan inside jit — one device dispatch per `chunk` steps (the reference
+dispatches 20k separate optimizer steps from Python). Cached activations
+stay on device and are gathered per step.
+
+Optional knobs the reference only has as latent code: ``opt_beta`` adds the
+rounding logits to theta in fused mode; ``opt_output_affine`` optimizes
+gamma^z/phi^z (alpha_out/beta_out — the README's bias_cal switch, captured
+but commented out at layer_recon_fused_shiftedScale.py:67-70).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..graph import BlockSpec, Flags, UnitQuant, apply_node, find_node, \
+    node_unit_names
+from ..ops import quant as Q
+from ..ops import wquant as W
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconSettings:
+    mode: str = "fused"
+    iters: int = 20000
+    batch_size: int = 32
+    # scan-chunk length: one device dispatch per `chunk` steps. None = auto:
+    # 500 on TPU (amortize remote dispatch), 1 on CPU (XLA:CPU disables
+    # intra-op threading inside while-loops, making convs-in-scan ~30x
+    # slower than the same jitted step dispatched from python).
+    chunk: Optional[int] = None
+    lr: float = 1e-3                 # torch.optim.Adam default (fused/brecq)
+    act_lr: float = 4e-4             # reference --lr for act phase
+    b_range: tuple = (20, 2)
+    warmup: float = 0.2
+    lmda_r: float = 0.01             # fused round-reg weight (driver: (0.01, lmda))
+    lmda_s: float = 0.1              # fused shift-reg weight (driver lmda)
+    weight: float = 0.01             # brecq round-reg weight (--weight)
+    p: Optional[float] = None        # None -> fused default: 2.0 block / 1.0 layer
+    shift_targets: tuple = (1.0 - 1.0 / 32, 1.0 + 1.0 / 32, 1.0)
+    opt_beta: bool = False
+    opt_output_affine: bool = False
+    grad_psum_axis: Optional[str] = None   # pmean grads across this mesh axis
+
+
+def lp_loss_cl(pred, tgt, p):
+    """Reference lp_loss on channels-last tensors: sum over the channel
+    axis, mean over the rest (equivalent to sum(1).mean() on NCHW)."""
+    return (jnp.abs(pred - tgt) ** p).sum(axis=-1).mean()
+
+
+# ---------------------------------------------------------------------------
+# theta <-> qstate plumbing
+# ---------------------------------------------------------------------------
+
+def _init_quantizers(params, qstate, unit_names, s: ReconSettings):
+    """Swap each unit's weight quantizer for the trainable form and build the
+    initial theta pytree."""
+    qstate = dict(qstate)
+    theta = {}
+    for name in unit_names:
+        uq: UnitQuant = qstate[name]
+        w = params[name]["w"]
+        qp = uq.wq.qp
+        t = {}
+        if s.mode == "fused":
+            wq = W.init_shifted_scale(qp, w, s.shift_targets)
+            t["alpha"] = wq.alpha
+            if s.opt_beta:
+                t["beta"] = wq.beta
+        elif s.mode == "brecq":
+            wq = W.init_adaround(qp, w)
+            t["alpha"] = wq.alpha
+        elif s.mode == "shift":
+            wq = W.init_shifted_scale_twophase(qp, w, s.shift_targets)
+            t["alpha"] = wq.alpha
+        elif s.mode == "round":
+            # phase 2 of two-phase: expects qstate[...].wq to be a hardened
+            # ShiftedScaleWQ (codes=False) from a 'shift' run
+            wq = W.bake_shift_to_adaround(qstate[name].wq, w)
+            t["alpha"] = wq.alpha
+        else:
+            raise ValueError(s.mode)
+        if s.opt_output_affine:
+            t["alpha_out"] = uq.alpha_out
+            t["beta_out"] = uq.beta_out
+        qstate[name] = dataclasses.replace(uq, wq=wq)
+        theta[name] = t
+    return qstate, theta
+
+
+def _insert_theta(qstate, theta):
+    qstate = dict(qstate)
+    for name, t in theta.items():
+        uq = qstate[name]
+        wq = uq.wq
+        if "alpha" in t:
+            wq = dataclasses.replace(wq, alpha=t["alpha"])
+        if "beta" in t:
+            wq = dataclasses.replace(wq, beta=t["beta"])
+        uq = dataclasses.replace(uq, wq=wq)
+        if "alpha_out" in t:
+            uq = dataclasses.replace(uq, alpha_out=t["alpha_out"],
+                                     beta_out=t["beta_out"])
+        qstate[name] = uq
+    return qstate
+
+
+def _harden(qstate, unit_names, mode):
+    """Flip quantizers to hard rounding/selection (the post-loop flips at
+    layer_recon_fused_shiftedScale.py:125-136)."""
+    qstate = dict(qstate)
+    for name in unit_names:
+        uq = qstate[name]
+        wq = uq.wq
+        if isinstance(wq, W.ShiftedScaleWQ):
+            wq = dataclasses.replace(wq, hard_targets=True,
+                                     hard_round=wq.codes)
+        elif isinstance(wq, W.AdaRoundWQ):
+            wq = dataclasses.replace(wq, soft=False)
+        qstate[name] = dataclasses.replace(uq, wq=wq)
+    return qstate
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def _reg_terms(qstate, unit_names, step, s: ReconSettings, is_block):
+    """Temperature-scheduled regularizers, gated by warmup (the reference's
+    count < loss_start branch)."""
+    zero = jnp.float32(0.0)
+    loss_start = s.iters * s.warmup
+    gate = (step >= loss_start).astype(jnp.float32)
+    if s.mode == "fused":
+        b = Q.linear_temp_decay(step, s.iters, s.warmup,
+                                s.b_range[0], s.b_range[1])
+        # shift reg decays over a 3/4 horizon with its own warmup fraction
+        # (layer_recon_fused_shiftedScale.py:249-250: decay starts at
+        # warmup*(3/4*iters) and bottoms out at 3/4*iters)
+        b2 = Q.linear_temp_decay(step, s.iters * 3 / 4, s.warmup,
+                                 s.b_range[0], s.b_range[1])
+        r = zero
+        sreg = zero
+        for name in unit_names:
+            wq = qstate[name].wq
+            r += Q.round_regularizer(Q.rectified_sigmoid(wq.beta), b)
+            sreg += Q.round_regularizer(wq.soft_targets(), b2)
+        return gate * (s.lmda_r * r + s.lmda_s * sreg)
+    if s.mode in ("brecq", "round"):
+        b = Q.linear_temp_decay(step, s.iters, s.warmup,
+                                s.b_range[0], s.b_range[1])
+        r = zero
+        for name in unit_names:
+            wq = qstate[name].wq
+            r += Q.round_regularizer(Q.rectified_sigmoid(wq.alpha), b)
+        w = s.weight if s.mode == "brecq" else s.lmda_r
+        return gate * w * r
+    if s.mode == "shift":
+        # entropy regularizer (layer_recon_shiftedScale.py:462-467)
+        r = zero
+        for name in unit_names:
+            p = qstate[name].wq.soft_targets()
+            r += -(p * jnp.log(p + 1e-10)).sum()
+        return gate * s.lmda_s * r
+    return zero
+
+
+# ---------------------------------------------------------------------------
+# chunked scan driver
+# ---------------------------------------------------------------------------
+
+def _chunked_scan(step_body, theta, opt_state, key, iters: int,
+                  chunk: Optional[int]):
+    """Run ``step_body(carry, i, key) -> (carry, loss)`` for i in [0, iters)
+    as python-driven chunks of one jitted lax.scan each (chunk>1), or a
+    python loop over one jitted step (chunk==1 — the fast path on XLA:CPU,
+    whose while-loop bodies are single-threaded). Returns
+    (theta, opt_state, loss_trace)."""
+    if chunk is None:
+        chunk = 1 if jax.default_backend() == "cpu" else 500
+    chunk = max(min(chunk, iters), 1)
+
+    if chunk == 1:
+        @jax.jit
+        def run_step(th, opt, key, i):
+            (th, opt), loss = step_body((th, opt), i, key)
+            return th, opt, loss
+
+        losses = []
+        for i in range(iters):
+            theta, opt_state, loss = run_step(theta, opt_state, key,
+                                              jnp.int32(i))
+            losses.append(loss)
+        return theta, opt_state, jnp.stack(losses)
+
+    @partial(jax.jit, static_argnames=("nsteps",))
+    def run_chunk(th, opt, key, t0, nsteps):
+        def body(carry, j):
+            return step_body(carry, t0 + j, key)
+        (th, opt), losses = jax.lax.scan(body, (th, opt),
+                                         jnp.arange(nsteps))
+        return th, opt, losses
+
+    traces = []
+    done = 0
+    while done < iters:
+        nsteps = min(chunk, iters - done)
+        theta, opt_state, losses = run_chunk(
+            theta, opt_state, key, jnp.int32(done), nsteps)
+        traces.append(losses)
+        done += nsteps
+    return theta, opt_state, jnp.concatenate(traces)
+
+
+# ---------------------------------------------------------------------------
+# main entry
+# ---------------------------------------------------------------------------
+
+def reconstruct_node(graph, params, qstate, node_name: str,
+                     cached_inp, cached_out, s: ReconSettings,
+                     key: jax.Array):
+    """Run one reconstruction. Returns (new_qstate, metrics)."""
+    node = find_node(graph, node_name)
+    is_block = isinstance(node, BlockSpec)
+    unit_names = node_unit_names(node)
+    qstate, theta = _init_quantizers(params, qstate, unit_names, s)
+
+    p_norm = s.p if s.p is not None else (2.0 if is_block else 1.0)
+    flags = Flags(weight_on=frozenset(unit_names),
+                  output_affine=s.opt_output_affine)
+
+    def loss_fn(th, xb, yb, step):
+        qs = _insert_theta(qstate, th)
+        pred = apply_node(node, params, qs, xb, flags)
+        rec = lp_loss_cl(pred, yb, p_norm)
+        reg = _reg_terms(qs, unit_names, step, s, is_block)
+        return rec + reg, rec
+
+    tx = optax.adam(s.lr)
+    opt_state = tx.init(theta)
+    n = cached_inp.shape[0]
+
+    def step_body(carry, i, key):
+        th, opt = carry
+        k = jax.random.fold_in(key, i)
+        idx = jax.random.permutation(k, n)[: s.batch_size]
+        xb = cached_inp[idx].astype(jnp.float32)
+        yb = cached_out[idx].astype(jnp.float32)
+        (loss, rec), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(th, xb, yb, i.astype(jnp.float32))
+        if s.grad_psum_axis is not None:
+            grads = jax.lax.pmean(grads, s.grad_psum_axis)
+        updates, opt = tx.update(grads, opt, th)
+        th = optax.apply_updates(th, updates)
+        return (th, opt), rec
+
+    metrics = {}
+    if s.iters > 0:
+        theta, opt_state, trace = _chunked_scan(
+            step_body, theta, opt_state, key, s.iters, s.chunk)
+        metrics["rec_trace"] = trace
+
+    qstate = _insert_theta(qstate, theta)
+
+    # soft vs hard loss on the first batch (reference
+    # layer_recon_fused_shiftedScale.py:117-137)
+    xb = cached_inp[: s.batch_size].astype(jnp.float32)
+    yb = cached_out[: s.batch_size].astype(jnp.float32)
+
+    @jax.jit
+    def eval_rec(qs):
+        pred = apply_node(node, params, qs, xb, flags)
+        return lp_loss_cl(pred, yb, p_norm)
+
+    metrics["soft_loss"] = eval_rec(qstate)
+    qstate = _harden(qstate, unit_names, s.mode)
+    metrics["hard_loss"] = eval_rec(qstate)
+    metrics["selection_ratio"] = selection_ratios(qstate, unit_names)
+    return qstate, metrics
+
+
+def selection_ratios(qstate, unit_names):
+    """Fraction of selection groups choosing each shift candidate
+    (reference print_ratio, layer_recon_fused_shiftedScale.py:13-21)."""
+    out = {}
+    for name in unit_names:
+        wq = qstate[name].wq
+        if isinstance(wq, W.ShiftedScaleWQ):
+            idx = jnp.argmax(wq.soft_targets(), axis=-1)
+            n_s = len(wq.shift_targets)
+            counts = jnp.bincount(idx.reshape(-1), length=n_s)
+            out[name] = counts / idx.size
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Activation-delta reconstruction (BRECQ act phase)
+# ---------------------------------------------------------------------------
+
+def reconstruct_act_delta(graph, params, qstate, node_name: str,
+                          cached_inp, cached_out, s: ReconSettings,
+                          key: jax.Array, p_norm: float = 2.4):
+    """Learn act-quant deltas for a node by Adam + cosine LR
+    (reference layer_recon.py:57-61, --iters_a/--lr/--p defaults)."""
+    node = find_node(graph, node_name)
+    unit_names = node_unit_names(node)
+    sites = [u for u in unit_names
+             if isinstance(qstate[u], UnitQuant) and qstate[u].aq is not None]
+    block_site = (node_name
+                  if isinstance(node, BlockSpec) and node_name in qstate
+                  else None)
+    theta = {u: qstate[u].aq.delta for u in sites}
+    if block_site:
+        theta[node_name] = qstate[node_name].delta
+
+    flags = Flags(weight_on=frozenset(unit_names),
+                  act_on=frozenset(theta.keys()))
+
+    def insert(qs, th):
+        qs = dict(qs)
+        for u in sites:
+            qs[u] = dataclasses.replace(
+                qs[u], aq=dataclasses.replace(qs[u].aq, delta=th[u]))
+        if block_site:
+            qs[node_name] = dataclasses.replace(qs[node_name],
+                                                delta=th[node_name])
+        return qs
+
+    def loss_fn(th, xb, yb):
+        pred = apply_node(node, params, insert(qstate, th), xb, flags)
+        return lp_loss_cl(pred, yb, p_norm)
+
+    sched = optax.cosine_decay_schedule(s.act_lr, max(s.iters, 1), 0.0)
+    tx = optax.adam(sched)
+    opt_state = tx.init(theta)
+    n = cached_inp.shape[0]
+
+    def step_body(carry, i, key):
+        th, opt = carry
+        k = jax.random.fold_in(key, i)
+        idx = jax.random.permutation(k, n)[: s.batch_size]
+        loss, grads = jax.value_and_grad(loss_fn)(
+            th, cached_inp[idx].astype(jnp.float32),
+            cached_out[idx].astype(jnp.float32))
+        if s.grad_psum_axis is not None:
+            grads = jax.lax.pmean(grads, s.grad_psum_axis)
+        updates, opt = tx.update(grads, opt, th)
+        th = optax.apply_updates(th, updates)
+        return (th, opt), loss
+
+    metrics = {}
+    if s.iters > 0:
+        theta, opt_state, trace = _chunked_scan(
+            step_body, theta, opt_state, key, s.iters, s.chunk)
+        metrics["rec_trace"] = trace
+    return insert(qstate, theta), metrics

@@ -14,10 +14,16 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the remote TPU platform and
+# programmatically sets jax_platforms='axon,cpu', overriding the env var —
+# override it back AFTER import so tests run on local CPU devices.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: this CPU is slow at XLA compilation; cache makes
 # repeat test runs cheap.
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# separate cache dir per platform: remote-compiled TPU/AOT blobs are not
+# loadable by the host CPU (machine-feature mismatch)
+os.makedirs("/tmp/jax_cache_cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,0 +1,162 @@
+"""Reconstruction engine tests on a tiny model (fast shapes, few iters)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import shiftedscalequantization_tpu as ssq
+from shiftedscalequantization_tpu.graph import BlockSpec, Flags, OpSpec, UnitSpec
+from shiftedscalequantization_tpu.models import resnet
+from shiftedscalequantization_tpu.ops import wquant as W
+from shiftedscalequantization_tpu.recon import (ReconSettings, capture_io,
+                                                reconstruct_model,
+                                                reconstruct_node)
+
+
+def tiny_graph():
+    conv1 = UnitSpec("model.conv1", "conv", 3, 8, kernel=(3, 3), stride=(1, 1),
+                     padding=(1, 1), activation="relu", has_bn=True)
+    block = BlockSpec(
+        "model.layer1.0",
+        units=(
+            UnitSpec("model.layer1.0.conv1", "conv", 8, 8, kernel=(3, 3),
+                     padding=(1, 1), activation="relu", has_bn=True),
+            UnitSpec("model.layer1.0.conv2", "conv", 8, 8, kernel=(3, 3),
+                     padding=(1, 1), disable_act_quant=True, has_bn=True),
+        ),
+        residual=True, post_activation="relu")
+    return (conv1, block, OpSpec("model.avgpool", "gap"),
+            UnitSpec("model.fc", "linear", 8, 4))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    graph = tiny_graph()
+    raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+    cfg = ssq.QuantConfig(n_bits_w=2, n_bits_a=4, w_scale_method="max",
+                          use_8bit_head_stem=False)
+    params, qstate = ssq.prepare_model(graph, raw, cfg)
+    cali = jax.random.normal(jax.random.PRNGKey(1), (64, 8, 8, 3))
+    return graph, params, qstate, cali, cfg
+
+
+def _capture(graph, params, qstate, name, cali, prefix=Flags()):
+    return capture_io(graph, params, qstate, name, cali,
+                      inp_flags=prefix, out_flags=Flags(), batch_size=32)
+
+
+class TestCapture:
+    def test_shapes_and_fp_targets(self, setup):
+        graph, params, qstate, cali, _ = setup
+        cin, cout = _capture(graph, params, qstate, "model.layer1.0", cali)
+        assert cin.shape == (64, 8, 8, 8)
+        assert cout.shape == (64, 8, 8, 8)
+
+    def test_asym_prefix_changes_inputs(self, setup):
+        graph, params, qstate, cali, _ = setup
+        fp_in, _ = _capture(graph, params, qstate, "model.layer1.0", cali)
+        q_in, _ = _capture(graph, params, qstate, "model.layer1.0", cali,
+                           prefix=Flags(weight_on=frozenset({"model.conv1"})))
+        assert float(jnp.abs(fp_in - q_in).max()) > 0  # W2 prefix quant visible
+
+
+class TestFusedRecon:
+    def test_block_recon_improves(self, setup):
+        graph, params, qstate, cali, _ = setup
+        name = "model.layer1.0"
+        cin, cout = _capture(graph, params, qstate, name, cali)
+        # fused-path targets must be near 1.0 (the reference's snapshot
+        # default, ShiftedScaleQuant.py:388): dequant stays at base delta,
+        # so aggressive targets like 0.5 are catastrophic here by design.
+        s = ReconSettings(mode="fused", iters=150, batch_size=16,
+                          shift_targets=(1 - 1 / 32, 1 + 1 / 32, 1.0),
+                          opt_beta=True)
+        # loss of plain-uniform W2 quant before recon
+        units = ["model.layer1.0.conv1", "model.layer1.0.conv2"]
+        from shiftedscalequantization_tpu.graph import apply_node, find_node
+        from shiftedscalequantization_tpu.recon.engine import lp_loss_cl
+        pre = apply_node(find_node(graph, name), params, qstate, cin[:16],
+                         Flags(weight_on=frozenset(units)))
+        pre_loss = float(lp_loss_cl(pre, cout[:16], 2.0))
+
+        qs2, metrics = reconstruct_node(graph, params, qstate, name,
+                                        cin, cout, s, jax.random.PRNGKey(2))
+        assert float(metrics["hard_loss"]) < pre_loss
+        # selection ratios are normalized per unit
+        for u, r in metrics["selection_ratio"].items():
+            np.testing.assert_allclose(np.asarray(r).sum(), 1.0, atol=1e-6)
+        # hardened quantizer is a hard ShiftedScaleWQ
+        wq = qs2[units[0]].wq
+        assert isinstance(wq, W.ShiftedScaleWQ)
+        assert wq.hard_targets and wq.hard_round
+
+    def test_rec_trace_decreases(self, setup):
+        graph, params, qstate, cali, _ = setup
+        name = "model.fc"
+        cin, cout = _capture(graph, params, qstate, name, cali)
+        s = ReconSettings(mode="fused", iters=200, batch_size=16,
+                          shift_targets=(1 - 1 / 32, 1 + 1 / 32, 1.0))
+        _, metrics = reconstruct_node(graph, params, qstate, name,
+                                      cin, cout, s, jax.random.PRNGKey(3))
+        tr = np.asarray(metrics["rec_trace"])
+        assert tr[-20:].mean() <= tr[:20].mean()
+
+
+class TestBrecqRecon:
+    def test_layer_adaround(self, setup):
+        graph, params, qstate, cali, _ = setup
+        name = "model.fc"
+        cin, cout = _capture(graph, params, qstate, name, cali)
+        s = ReconSettings(mode="brecq", iters=150, batch_size=16)
+        qs2, metrics = reconstruct_node(graph, params, qstate, name,
+                                        cin, cout, s, jax.random.PRNGKey(4))
+        wq = qs2[name].wq
+        assert isinstance(wq, W.AdaRoundWQ) and not wq.soft
+        # hard output lies on the quant grid
+        w_hat = np.asarray(wq(params[name]["w"]))
+        delta = np.asarray(wq.qp.delta)
+        codes = w_hat / delta
+        np.testing.assert_allclose(codes, np.round(codes), atol=1e-4)
+
+
+class TestTwoPhase:
+    def test_shift_then_round(self, setup):
+        # two-phase path: dequant at delta*st, so aggressive targets (0.5)
+        # are legitimate here (channelQuant.py init_v:201-213)
+        graph, params, qstate, cali, _ = setup
+        name = "model.fc"
+        cin, cout = _capture(graph, params, qstate, name, cali)
+        s1 = ReconSettings(mode="shift", iters=80, batch_size=16,
+                           shift_targets=(0.5, 1.0), lmda_s=0.01)
+        qs2, m1 = reconstruct_node(graph, params, qstate, name,
+                                   cin, cout, s1, jax.random.PRNGKey(5))
+        wq = qs2[name].wq
+        assert isinstance(wq, W.ShiftedScaleWQ) and not wq.codes
+        assert wq.hard_targets
+        s2 = ReconSettings(mode="round", iters=80, batch_size=16)
+        qs3, m2 = reconstruct_node(graph, params, qs2, name,
+                                   cin, cout, s2, jax.random.PRNGKey(6))
+        wq2 = qs3[name].wq
+        assert isinstance(wq2, W.AdaRoundWQ) and not wq2.soft
+        # per-(oc,ic) effective delta was baked in
+        assert wq2.qp.delta.shape == params[name]["w"].shape
+
+
+class TestPipeline:
+    def test_sequential_prefix(self, setup):
+        graph, params, qstate, cali, _ = setup
+        s = ReconSettings(mode="fused", iters=40, batch_size=16,
+                          shift_targets=(0.5, 1.0))
+        s = dataclasses.replace(s, shift_targets=(1 - 1 / 32, 1 + 1 / 32, 1.0))
+        seen = []
+        qs2, hist, prefix = reconstruct_model(
+            graph, params, qstate, ["model.layer1.0", "model.fc"], cali, s,
+            jax.random.PRNGKey(7), batch_size=32,
+            on_node_done=lambda n, qs, m, f: seen.append((n, set(f.weight_on))))
+        assert [n for n, _ in seen] == ["model.layer1.0", "model.fc"]
+        # prefix accumulates: after fc, all three recon'd units are on
+        assert seen[1][1] >= {"model.layer1.0.conv1", "model.layer1.0.conv2",
+                              "model.fc"}
+        assert set(hist.keys()) == {"model.layer1.0", "model.fc"}
