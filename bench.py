@@ -1,0 +1,91 @@
+"""Benchmark: ResNet-18 W2A4 deploy-mode (int8 MXU) throughput, 1 chip.
+
+Prints ONE JSON line: images/sec/chip for the flagship config
+(ResNet-18 ImageNet W2A4, the reference's headline setup — README.md:20-27),
+with vs_baseline = speedup over the bf16 full-precision forward of the same
+model on the same chip (the reference publishes no throughput numbers at
+all, so the FP forward is the natural baseline).
+
+Env knobs: BENCH_BATCH (default 256), BENCH_ITERS (default 30),
+BENCH_HW (default 224), BENCH_ARCH (default resnet18).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/tmp/jax_cache_axon", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_axon")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import shiftedscalequantization_tpu as ssq
+from shiftedscalequantization_tpu import deploy
+from shiftedscalequantization_tpu.models import resnet, zoo
+from shiftedscalequantization_tpu.quantize import act_flags
+
+
+def time_fn(fn, x, iters, warmup=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    hw = int(os.environ.get("BENCH_HW", 224))
+    arch = os.environ.get("BENCH_ARCH", "resnet18")
+
+    graph, _ = zoo.build(arch, dataset="imagenet")
+    raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+    cfg = ssq.QuantConfig(n_bits_w=2, n_bits_a=4, w_scale_method="max",
+                          a_scale_method="max")
+    params, qstate = ssq.prepare_model(graph, raw, cfg)
+    calib = jax.random.normal(jax.random.PRNGKey(1), (16, hw, hw, 3))
+    qstate = ssq.calibrate_acts(graph, params, qstate, calib, cfg)
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (batch, hw, hw, 3))
+
+    # bf16 FP baseline forward
+    params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    fp_fn = jax.jit(lambda x: ssq.forward(graph, params_bf16, qstate,
+                                          x.astype(jnp.bfloat16), ssq.Flags()))
+    fp_t = time_fn(fp_fn, x, iters)
+
+    # deploy int path
+    dparams = deploy.build_deploy_params(graph, params, qstate)
+    steps = deploy.act_steps_from_qstate(graph, qstate)
+    plan = deploy.make_deploy_plan(graph, dparams, steps)
+    q_fn = jax.jit(lambda x: deploy.deploy_forward(graph, dparams, steps, x,
+                                                   plan))
+    q_t = time_fn(q_fn, x, iters)
+
+    ips = batch / q_t
+    fp_ips = batch / fp_t
+    result = {
+        "metric": f"{arch} W2A4 int8-deploy images/sec/chip (batch {batch}, "
+                  f"{hw}x{hw})",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / fp_ips, 3),
+        "extra": {
+            "bf16_fp_images_per_sec": round(fp_ips, 1),
+            "int_path_ms_per_batch": round(q_t * 1e3, 2),
+            "bf16_ms_per_batch": round(fp_t * 1e3, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

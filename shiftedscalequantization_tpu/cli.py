@@ -1,0 +1,174 @@
+"""Experiment driver CLI.
+
+Functional equivalent of the reference's entry scripts: the shifted-scale
+pipelines of ShiftedScaleQuant.py (channelShift_wLoss:185-286 /
+channelShift_wMSE:119-183), the BRECQ pipeline of Brecq/main_imagenet.py /
+main_cifar10.py (weight recon then act phase), and the two-phase variant.
+
+Run:  python -m shiftedscalequantization_tpu.cli --arch resnet18
+      --dataset cifar10 --mode fused --n_bits_w 2 --n_bits_a 4 ...
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import quantize as QZ
+from .data.datasets import build_cifar10_data, build_imagenet_data
+from .graph import Flags
+from .models import resnet as resnet_m
+from .models import zoo
+from .quantize import QuantConfig, act_flags, calibrate_acts, prepare_model, \
+    reconstruction_targets
+from .recon import ReconSettings, reconstruct_model
+from .utils import checkpoint as ckpt
+from .utils.config import load_args, parse_shift_targets
+from .utils.eval import get_train_samples, validate_model
+from .utils.logging import RunLog, Timer, notify
+
+
+def seed_all(seed: int):
+    """(reference common.py:77-85; JAX PRNG is explicit so this covers
+    numpy-side shuffles only)"""
+    np.random.seed(seed)
+
+
+def build_everything(args):
+    graph, _ = zoo.build(args.arch, dataset=args.dataset)
+    raw = resnet_m.init_params(jax.random.PRNGKey(args.seed), graph)
+    cfg = QuantConfig(
+        n_bits_w=args.n_bits_w, n_bits_a=args.n_bits_a,
+        channel_wise=args.channel_wise, sym=False,
+        w_scale_method=args.w_scale_method,
+        a_scale_method=args.a_scale_method,
+        use_8bit_head_stem=not args.disable_8bit_head_stem)
+    return graph, raw, cfg
+
+
+def build_data(args):
+    if args.dataset == "cifar10":
+        return build_cifar10_data(batch_size=args.batch_size,
+                                  data_path=args.data_path, seed=args.seed,
+                                  synthetic=args.synthetic_data)
+    return build_imagenet_data(batch_size=args.batch_size,
+                               data_path=args.data_path, seed=args.seed,
+                               synthetic=args.synthetic_data)
+
+
+def main(argv=None):
+    args = load_args(argv)
+    seed_all(args.seed)
+    log = RunLog(args.log_path or f"{args.run_device.replace(':', '_')}.log")
+    timer = Timer()
+
+    train_loader, test_loader = build_data(args)
+    cali_data = get_train_samples(train_loader, args.num_samples)
+    graph, raw, cfg = build_everything(args)
+    params, qstate = prepare_model(graph, raw, cfg)
+
+    wflags = Flags(output_affine=args.bias_cal).all_weights(graph)
+    if args.test_before_calibration and not args.skip_test:
+        acc = validate_model(graph, params, qstate, test_loader)
+        print(f"accuracy of FP model: {acc}")
+
+    # weight-quantizer scale init happened eagerly in prepare_model; act
+    # init on the first 64 calibration samples (reference lazy-init pass,
+    # ShiftedScaleQuant.py:228-229)
+    if args.act_quant:
+        qstate = calibrate_acts(graph, params, qstate, cali_data[:64], cfg,
+                                flags=wflags)
+    if not args.skip_test:
+        acc = validate_model(graph, params, qstate, test_loader, wflags)
+        print(f"accuracy of qnn (with cal.): {acc}")
+
+    shift_targets = parse_shift_targets(args.shift_targets)
+    mode_map = {"fused": "fused", "brecq": "brecq", "two_phase": "shift"}
+
+    if args.mode == "mse":
+        qstate = run_mse_pipeline(graph, params, qstate, args)
+        acc = validate_model(graph, params, qstate, test_loader, wflags)
+        print(f"accuracy of qnn_mse: {acc}")
+        log.append(f"mse,{args.arch},W{args.n_bits_w}A{args.n_bits_a}", acc)
+        return acc
+
+    settings = ReconSettings(
+        mode=mode_map[args.mode], iters=args.iters_w,
+        batch_size=32, b_range=(args.b_start, args.b_end),
+        warmup=args.warmup, weight=args.weight,
+        lmda_r=0.01, lmda_s=args.lmda,
+        shift_targets=shift_targets if args.bias_ch_quant else (1.0,),
+        opt_beta=args.opt_beta, opt_output_affine=args.bias_cal)
+
+    targets = reconstruction_targets(graph)
+    accs = []
+
+    def on_done(name, qs, metrics, prefix):
+        sl = float(metrics.get("soft_loss", jnp.nan))
+        hl = float(metrics.get("hard_loss", jnp.nan))
+        print(f"Reconstructed {name}: soft {sl:.6f} -> hard {hl:.6f} "
+              f"({metrics['wall_s']:.1f}s)")
+        if not args.skip_test:
+            a = validate_model(graph, params, qs, test_loader,
+                               dataclasses.replace(prefix,
+                                                   weight_on=prefix.weight_on))
+            accs.append(a["top1"])
+            print(f"accuracy of qnn_hard {name}: {a}")
+            notify(f"{name}: {a}")
+
+    qstate, history, prefix = reconstruct_model(
+        graph, params, qstate, targets, cali_data, settings,
+        jax.random.PRNGKey(args.seed), batch_size=args.batch_size,
+        base_flags=Flags(output_affine=args.bias_cal),
+        on_node_done=on_done)
+
+    # act phase (BRECQ main_imagenet.py:233-244): learn act deltas
+    if args.act_quant and args.mode == "brecq" and args.iters_a > 0:
+        act_settings = dataclasses.replace(settings, iters=args.iters_a,
+                                           act_lr=args.lr)
+        qstate, _, _ = reconstruct_model(
+            graph, params, qstate, targets, cali_data, act_settings,
+            jax.random.PRNGKey(args.seed + 1), batch_size=args.batch_size,
+            base_flags=prefix, act_phase=True)
+
+    aflags = act_flags(graph, cfg, base=prefix) if args.act_quant else prefix
+    final = validate_model(graph, params, qstate, test_loader, aflags)
+    print(f"Final W{args.n_bits_w}A{args.n_bits_a} accuracy: {final} "
+          f"({timer.lap():.1f}s total)")
+    log.append(
+        f"{args.mode},{args.arch},W{args.n_bits_w}A{args.n_bits_a},"
+        f"lmda={args.lmda},st={shift_targets}",
+        {"accs": accs, "final": final})
+    if args.make_checkpoint:
+        ckpt.save_qstate(
+            f"{args.checkpoint_dir}/QNN_W{args.n_bits_w}_A{args.n_bits_a}",
+            qstate, done=list(targets))
+    return final
+
+
+def run_mse_pipeline(graph, params, qstate, args):
+    """Closed-form input-channel-scale pipeline (channelShift_wMSE,
+    reference ShiftedScaleQuant.py:119-183): swap every reconstructable
+    unit's weight quantizer for InpScaleWQ and run init_scale."""
+    from .graph import UnitQuant, iter_units
+    from .ops import wquant as W
+    order = QZ.unit_order(graph)
+    skip = {order[0], order[-1]}  # 8-bit head/stem + '.model.fc' skip list
+    qstate = dict(qstate)
+    for u in iter_units(graph):
+        if u.name in skip:
+            continue
+        uq: UnitQuant = qstate[u.name]
+        w = params[u.name]["w"]
+        wq = W.init_inp_scale(uq.wq.qp, uq.raw_zp, w,
+                              level=args.mse_level,
+                              threshold=args.mse_threshold)
+        qstate[u.name] = dataclasses.replace(uq, wq=wq)
+    return qstate
+
+
+if __name__ == "__main__":
+    main()

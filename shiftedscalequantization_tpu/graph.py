@@ -248,7 +248,9 @@ def _apply_act_quant(name: str, x, aq: Optional[QParams], ctx: _Ctx):
         return fake_quant(x, qp)
     if aq is None:
         raise ValueError(f"act quantizer for {name!r} not calibrated")
-    return fake_quant(x, aq)
+    if isinstance(aq, QParams):
+        return fake_quant(x, aq)
+    return aq(x)   # e.g. ActShiftQuant (callable quantizer pytree)
 
 
 def _unit_forward(spec: UnitSpec, p, uq: UnitQuant, x, ctx: _Ctx):

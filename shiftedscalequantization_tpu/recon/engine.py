@@ -324,6 +324,126 @@ def selection_ratios(qstate, unit_names):
 # Activation-delta reconstruction (BRECQ act phase)
 # ---------------------------------------------------------------------------
 
+def reconstruct_act_shift(graph, params, qstate, node_name: str,
+                          cached_inp, cached_out, s: ReconSettings,
+                          key: jax.Array,
+                          shift_targets=(1.0, 0.5)):
+    """Activation shifted-scale reconstruction (the fused act branch,
+    reference layer_recon_fused_shiftedScale.py:37-57 with the intended
+    ChannelQuantAct behavior): swap every act quantizer in the node — unit
+    sites and the block site — for an ActShiftQuant with candidates
+    ``shift_targets``, init alpha per-channel from the first cached batch,
+    and optimize the alphas with Adam (loss='none': no regularizer).
+    Weight quantizers stay as-is (assumed hardened) and ON."""
+    from ..ops.act_quant import ActShiftQuant, init_act_shift
+
+    node = find_node(graph, node_name)
+    unit_names = node_unit_names(node)
+    qstate = dict(qstate)
+
+    # run the node once on a sample to get per-site activations for init
+    sample = cached_inp[: min(64, cached_inp.shape[0])].astype(jnp.float32)
+
+    sites = []
+    for u in unit_names:
+        if isinstance(qstate[u], UnitQuant) and qstate[u].aq is not None:
+            sites.append(u)
+    if isinstance(node, BlockSpec) and node_name in qstate \
+            and qstate[node_name] is not None:
+        sites.append(node_name)
+
+    for site in sites:
+        qp = qstate[site].aq if site in unit_names else qstate[site]
+        if sample.shape[-1] == _site_channels(graph, node, site):
+            # site sees the node-input channel count: data-driven MSE init
+            asq = init_act_shift(qp, sample, shift_targets)
+        else:
+            # mid-block site: neutral init favoring scale 1.0 (the
+            # reference's init is broken here — channelQuantAct.py:125-134;
+            # alpha is optimized immediately after, so a sane prior suffices)
+            c = _site_channels(graph, node, site)
+            n_t = len(shift_targets)
+            one_idx = shift_targets.index(1.0) if 1.0 in shift_targets else 0
+            p = jnp.full((c, n_t), 0.2 / max(n_t - 1, 1))
+            p = p.at[:, one_idx].set(0.8)
+            from ..ops.quant import inverse_rectified_softmax
+            asq = ActShiftQuant(qp=qp, alpha=inverse_rectified_softmax(p),
+                                shift_targets=tuple(shift_targets))
+        if site in unit_names:
+            qstate[site] = dataclasses.replace(qstate[site], aq=asq)
+        else:
+            qstate[site] = asq
+
+    theta = {site: (qstate[site].aq.alpha if site in unit_names
+                    else qstate[site].alpha) for site in sites}
+    flags = Flags(weight_on=frozenset(unit_names), act_on=frozenset(sites))
+
+    def insert(qs, th):
+        qs = dict(qs)
+        for site in sites:
+            if site in unit_names:
+                qs[site] = dataclasses.replace(
+                    qs[site], aq=dataclasses.replace(qs[site].aq,
+                                                     alpha=th[site]))
+            else:
+                qs[site] = dataclasses.replace(qs[site], alpha=th[site])
+        return qs
+
+    def loss_fn(th, xb, yb):
+        pred = apply_node(node, params, insert(qstate, th), xb, flags)
+        return lp_loss_cl(pred, yb, 2.0)
+
+    tx = optax.adam(s.lr)
+    opt_state = tx.init(theta)
+    n = cached_inp.shape[0]
+
+    def step_body(carry, i, key):
+        th, opt = carry
+        k = jax.random.fold_in(key, i)
+        idx = jax.random.permutation(k, n)[: s.batch_size]
+        loss, grads = jax.value_and_grad(loss_fn)(
+            th, cached_inp[idx].astype(jnp.float32),
+            cached_out[idx].astype(jnp.float32))
+        if s.grad_psum_axis is not None:
+            grads = jax.lax.pmean(grads, s.grad_psum_axis)
+        updates, opt = tx.update(grads, opt, th)
+        th = optax.apply_updates(th, updates)
+        return (th, opt), loss
+
+    metrics = {}
+    if s.iters > 0:
+        theta, opt_state, trace = _chunked_scan(
+            step_body, theta, opt_state, key, s.iters, s.chunk)
+        metrics["rec_trace"] = trace
+
+    qstate = insert(qstate, theta)
+    # harden selections
+    for site in sites:
+        if site in unit_names:
+            qstate[site] = dataclasses.replace(
+                qstate[site], aq=dataclasses.replace(qstate[site].aq,
+                                                     hard_targets=True))
+        else:
+            qstate[site] = dataclasses.replace(qstate[site],
+                                               hard_targets=True)
+    return qstate, metrics
+
+
+def _site_channels(graph, node, site):
+    """Channel count of the tensor an act-quant site sees."""
+    from ..graph import UnitSpec
+    if isinstance(node, BlockSpec):
+        if site == node.name:
+            return node.units[-1].out_ch
+        for u in list(node.units) + ([node.downsample] if node.downsample
+                                     else []):
+            if u.name == site:
+                return u.out_ch
+    if isinstance(node, UnitSpec):
+        return node.out_ch
+    raise KeyError(site)
+
+
 def reconstruct_act_delta(graph, params, qstate, node_name: str,
                           cached_inp, cached_out, s: ReconSettings,
                           key: jax.Array, p_norm: float = 2.4):

@@ -1,0 +1,105 @@
+"""CLI flag set mirroring the reference's argparse (common.py:19-75).
+
+Same flag names where sensible, plus the flags the reference README
+documents but never wired up (README.md:30-34): --bias_cal (learn the
+gamma^z/phi^z output affine) and --bias_ch_quant (enable input-channel
+group shifts) are real switches here.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native shifted-scale PTQ",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+
+    # general (common.py:24-30)
+    p.add_argument("--seed", default=1005, type=int)
+    p.add_argument("--arch", default="resnet18", type=str,
+                   choices=["resnet18", "resnet50", "mobilenetv2",
+                            "regnetx_600m", "regnetx_3200m", "mnasnet"])
+    p.add_argument("--batch_size", default=64, type=int)
+    p.add_argument("--workers", default=4, type=int)
+    p.add_argument("--data_path", default="~/dataset/cifar10", type=str)
+    p.add_argument("--dataset", default="cifar10", type=str,
+                   choices=["cifar10", "imagenet"])
+
+    # quantization (common.py:33-38)
+    p.add_argument("--n_bits_w", default=2, type=int)
+    p.add_argument("--channel_wise", default=True, type=_boolish)
+    p.add_argument("--n_bits_a", default=4, type=int)
+    p.add_argument("--act_quant", default=True, type=_boolish)
+    p.add_argument("--disable_8bit_head_stem", default=False, type=_boolish)
+    p.add_argument("--test_before_calibration", default=True, type=_boolish)
+
+    # weight calibration (common.py:41-48)
+    p.add_argument("--num_samples", default=1024, type=int)
+    p.add_argument("--iters_w", default=20000, type=int)
+    p.add_argument("--weight", default=0.01, type=float,
+                   help="rounding-reg weight (BRECQ --weight)")
+    p.add_argument("--sym", default=True, type=_boolish)
+    p.add_argument("--b_start", default=20, type=int)
+    p.add_argument("--b_end", default=2, type=int)
+    p.add_argument("--warmup", default=0.2, type=float)
+    p.add_argument("--step", default=20, type=int)
+
+    # act calibration (common.py:51-53)
+    p.add_argument("--iters_a", default=5000, type=int)
+    p.add_argument("--lr", default=4e-4, type=float)
+    p.add_argument("--p", default=2.4, type=float)
+
+    # ops flags (common.py:56-64)
+    p.add_argument("--make_checkpoint", default=False, type=_boolish)
+    p.add_argument("--skip_test", default=False, type=_boolish)
+    p.add_argument("--run_device", default="tpu:0", type=str)
+    p.add_argument("--msg_bot_enable", default=False, type=_boolish)
+    p.add_argument("--make_init_data", default=False, type=_boolish)
+    p.add_argument("--bypassChannelShift", default=False, type=_boolish)
+
+    # shifted-scale (common.py:67-71)
+    p.add_argument("--mse_level", default=1, type=int)
+    p.add_argument("--mse_threshold", default=1.0, type=float)
+    p.add_argument("--shift_quant_mode", default="max", type=str)
+    p.add_argument("--w_scale_method", default="mse", type=str)
+    p.add_argument("--a_scale_method", default="mse", type=str)
+    p.add_argument("--test", default=False, type=_boolish)
+
+    # knobs latent in the reference, real here (README.md:30-34;
+    # layer_recon_fused_shiftedScale.py:65-70)
+    p.add_argument("--bias_cal", default=False, type=_boolish,
+                   help="optimize gamma^z/phi^z output affine")
+    p.add_argument("--bias_ch_quant", default=True, type=_boolish,
+                   help="enable input-channel-group shifted scales")
+    p.add_argument("--opt_beta", default=False, type=_boolish,
+                   help="also optimize rounding logits in fused recon")
+    p.add_argument("--lmda", default=0.1, type=float,
+                   help="shift-reg weight lambda_S")
+    p.add_argument("--shift_targets", default="0.96875,1.03125,1.0", type=str,
+                   help="comma-separated shift candidates")
+
+    # infra
+    p.add_argument("--synthetic_data", default=None, type=_boolish,
+                   help="force synthetic data (default: auto if no dataset)")
+    p.add_argument("--checkpoint_dir", default="./checkPoint", type=str)
+    p.add_argument("--resume", default=False, type=_boolish)
+    p.add_argument("--log_path", default=None, type=str)
+    p.add_argument("--mode", default="fused", type=str,
+                   choices=["fused", "brecq", "two_phase", "mse"],
+                   help="reconstruction pipeline")
+    return p
+
+
+def _boolish(v):
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def parse_shift_targets(s: str):
+    return tuple(float(t) for t in s.split(","))
+
+
+def load_args(argv=None):
+    return build_parser().parse_args(argv)

