@@ -29,13 +29,25 @@ from shiftedscalequantization_tpu.models import resnet, zoo
 from shiftedscalequantization_tpu.quantize import act_flags
 
 
-def time_fn(fn, x, iters, warmup=3):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(x))
+def time_fn(fn, x, iters):
+    """Time `iters` forwards chained INSIDE one jitted call.
+
+    The axon remote platform costs ~3.5 ms RTT per dispatch and
+    block_until_ready does not track remote completion, so host-side
+    per-call timing is meaningless; an on-device scan with a host read of
+    the reduced result gives true device time. Each iteration perturbs the
+    input so XLA cannot CSE the repeated forwards."""
+    def run_body(x):
+        def body(acc, i):
+            y = fn(x + i.astype(x.dtype) * 1e-6)
+            return acc + y.sum(dtype=jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(iters, dtype=jnp.int32))
+        return acc
+    run = jax.jit(run_body)
+    float(run(x))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    jax.block_until_ready(out)
+    float(run(x))  # host read forces completion
     return (time.perf_counter() - t0) / iters
 
 
@@ -45,28 +57,35 @@ def main():
     hw = int(os.environ.get("BENCH_HW", 224))
     arch = os.environ.get("BENCH_ARCH", "resnet18")
 
-    graph, _ = zoo.build(arch, dataset="imagenet")
-    raw = resnet.init_params(jax.random.PRNGKey(0), graph)
-    cfg = ssq.QuantConfig(n_bits_w=2, n_bits_a=4, w_scale_method="max",
-                          a_scale_method="max")
-    params, qstate = ssq.prepare_model(graph, raw, cfg)
-    calib = jax.random.normal(jax.random.PRNGKey(1), (16, hw, hw, 3))
-    qstate = ssq.calibrate_acts(graph, params, qstate, calib, cfg)
+    # All setup (init, BN fold, scale init, calibration, deploy conversion)
+    # runs on the host CPU backend: eager ops on the remote TPU pay a
+    # dispatch/compile round trip each, turning setup into minutes. Only the
+    # two benchmarked jitted forwards run on the TPU.
+    cpu = jax.local_devices(backend="cpu")[0]
+    tpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        graph, _ = zoo.build(arch, dataset="imagenet")
+        raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+        cfg = ssq.QuantConfig(n_bits_w=2, n_bits_a=4, w_scale_method="max",
+                              a_scale_method="max")
+        params, qstate = ssq.prepare_model(graph, raw, cfg)
+        calib = jax.random.normal(jax.random.PRNGKey(1), (16, hw, hw, 3))
+        qstate = ssq.calibrate_acts(graph, params, qstate, calib, cfg)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        plan = deploy.make_deploy_plan(graph, dparams, steps)
+        params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        x = jax.random.normal(jax.random.PRNGKey(2), (batch, hw, hw, 3))
 
-    x = jax.random.normal(jax.random.PRNGKey(2), (batch, hw, hw, 3))
+    put = lambda t: jax.device_put(t, tpu)
+    params_bf16, qstate, dparams, steps, x = jax.tree.map(
+        put, (params_bf16, qstate, dparams, steps, x))
 
-    # bf16 FP baseline forward
-    params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    fp_fn = jax.jit(lambda x: ssq.forward(graph, params_bf16, qstate,
-                                          x.astype(jnp.bfloat16), ssq.Flags()))
+    fp_fn = lambda x: ssq.forward(graph, params_bf16, qstate,
+                                  x.astype(jnp.bfloat16), ssq.Flags())
     fp_t = time_fn(fp_fn, x, iters)
 
-    # deploy int path
-    dparams = deploy.build_deploy_params(graph, params, qstate)
-    steps = deploy.act_steps_from_qstate(graph, qstate)
-    plan = deploy.make_deploy_plan(graph, dparams, steps)
-    q_fn = jax.jit(lambda x: deploy.deploy_forward(graph, dparams, steps, x,
-                                                   plan))
+    q_fn = lambda x: deploy.deploy_forward(graph, dparams, steps, x, plan)
     q_t = time_fn(q_fn, x, iters)
 
     ips = batch / q_t

@@ -164,7 +164,16 @@ def make_deploy_plan(graph: Graph, dparams: dict, act_steps: dict) -> dict:
             zpv = float(np.asarray(zp).reshape(-1)[0])
             ok = ((2 ** n_bits - 1) - zpv <= 127) and (-zpv >= -128)
         plan[u.name] = ("int8" if ok else "bf16", site)
+    plan["__int8_sites__"] = frozenset(
+        s for s in act_steps if _site_fits_int8_concrete(act_steps[s]))
     return plan
+
+
+def _site_fits_int8_concrete(st):
+    import numpy as np
+    _, zp, n_bits = st
+    zpv = float(np.asarray(zp).reshape(-1)[0])
+    return ((2 ** n_bits - 1) - zpv <= 127) and (-zpv >= -128)
 
 
 def _quant_centered(x, delta, zp, n_bits):
@@ -188,29 +197,52 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
     from make_deploy_plan (computed here if omitted — precompute it when
     wrapping this function in jit).
 
-    Producer sites re-quantize their float output onto the act grid (exact
-    fake-quant, VPU); int8-planned consumers re-derive the centered codes
-    from the on-grid float (exact) and run the int conv. Residual adds and
-    epilogues are float32, mirroring sim mode.
+    Inter-unit activations travel as CENTERED INT8 CODES wherever the act
+    grid fits int8: a producer site quantizes its float epilogue output once
+    (int8 = 4x less HBM traffic than f32, and maxpool operates on codes
+    directly since quantization is monotonic); the consumer feeds the codes
+    straight into the int8 MXU conv. Float (f32) is used only where sim-mode
+    semantics require it: residual adds, off-grid segments (gap -> fc), and
+    the 8-bit head/stem whose codes exceed int8. Numerically identical to
+    the fake-quant sim path (single rounding per grid, exact epilogue
+    algebra).
+
+    Value representation between nodes: ('codes', int8_codes, site) or
+    ('f32', tensor, None).
     """
     if plan is None:
         plan = make_deploy_plan(graph, dparams, act_steps)
+    _int8_sites = plan["__int8_sites__"]
 
-    def fake_q(t, site):
+    def to_float(v):
+        kind, t, site = v
+        if kind == "f32":
+            return t
+        delta, zp, _ = act_steps[site]
+        return t.astype(jnp.float32) * delta
+
+    def quantize_out(t_float, site):
+        """Producer-side quantization onto the site grid."""
         st = act_steps.get(site)
         if st is None:
-            return t
+            return ("f32", t_float, None)
         delta, zp, n_bits = st
-        q = jnp.clip(jnp.round(t / delta) + zp, 0, 2 ** n_bits - 1)
-        return (q - zp) * delta
+        if site in _int8_sites:
+            return ("codes", _quant_centered(t_float, delta, zp, n_bits),
+                    site)
+        q = jnp.clip(jnp.round(t_float / delta) + zp, 0, 2 ** n_bits - 1)
+        return ("f32", (q - zp) * delta, None)
 
-    def run_unit(spec: UnitSpec, t):
+    def run_unit(spec: UnitSpec, v):
         d = dparams[spec.name]
-        kind, site = plan[spec.name]
-        st = act_steps.get(site) if site else None
-        if kind == "int8":
-            delta, zp, n_bits = st
-            xi = _quant_centered(t, delta, zp, n_bits)
+        kind_plan, feed_site = plan[spec.name]
+        vkind, t, vsite = v
+        if kind_plan == "int8":
+            delta, zp, n_bits = act_steps[feed_site]
+            if vkind == "codes":
+                xi = t
+            else:
+                xi = _quant_centered(t, delta, zp, n_bits)
             if spec.kind == "conv":
                 acc = _int_conv(xi, d.w_int, spec.stride, spec.padding,
                                 spec.groups)
@@ -220,7 +252,7 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                     preferred_element_type=jnp.int32)
             out = acc.astype(jnp.float32) * (d.scale * delta) + d.bias
         else:
-            xf = t.astype(jnp.float32)
+            xf = to_float(v)
             if d.w_bf16 is not None:
                 w_eff, sc = d.w_bf16, d.scale
             else:
@@ -237,25 +269,39 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             out = out + d.bias
         return _activation(spec.activation, out)
 
-    out = x
+    v = ("f32", x, None)
     for node in graph:
         if isinstance(node, OpSpec):
+            kind, t, site = v
             if node.op == "maxpool":
-                out = max_pool(out, node.window, node.stride, node.padding)
+                # monotonic: pool codes directly (int8) or floats
+                if kind == "codes":
+                    pads = ((0, 0), (node.padding[0], node.padding[0]),
+                            (node.padding[1], node.padding[1]), (0, 0))
+                    t = jax.lax.reduce_window(
+                        t, jnp.int8(-128), jax.lax.max,
+                        (1, *node.window, 1), (1, *node.stride, 1), pads)
+                    v = (kind, t, site)
+                else:
+                    v = (kind, max_pool(t, node.window, node.stride,
+                                        node.padding), site)
             elif node.op == "gap":
-                out = global_avg_pool(out)
+                v = ("f32", global_avg_pool(to_float(v)), None)
             elif node.op == "flatten":
-                out = out.reshape(out.shape[0], -1)
+                v = ("f32", to_float(v).reshape(t.shape[0], -1), None)
         elif isinstance(node, UnitSpec):
-            out = fake_q(run_unit(node, out), node.name)
+            v = quantize_out(run_unit(node, v), node.name)
         else:  # BlockSpec
-            residual = out if node.downsample is None \
-                else run_unit(node.downsample, out)
-            t = out
-            for u in node.units:
-                t = fake_q(run_unit(u, t), u.name)
+            residual_f = None
             if node.residual:
-                t = t + residual
-            t = _activation(node.post_activation, t)
-            out = fake_q(t, node.name)
-    return out
+                residual_f = run_unit(node.downsample, v) \
+                    if node.downsample is not None else to_float(v)
+            t = v
+            for u in node.units:
+                t = quantize_out(run_unit(u, t), u.name)
+            tf = to_float(t)
+            if node.residual:
+                tf = tf + residual_f
+            tf = _activation(node.post_activation, tf)
+            v = quantize_out(tf, node.name)
+    return to_float(v)
