@@ -1,0 +1,126 @@
+"""Distributed calibration + evaluation over a device mesh.
+
+TPU-native replacement for the reference's multi-GPU DP driver
+(Brecq/main_imagenet_dist.py:141-271): instead of mp.spawn + NCCL process
+groups + DistributedSampler + explicit link.allreduce(p.grad), everything
+is ONE jitted SPMD program under a Mesh:
+
+  * eval: batches sharded over the 'data' axis; the correct-count
+    reduction lowers to an all-reduce over ICI (replacing the metric
+    allreduce at main_imagenet_dist.py:114-124).
+  * capture: the calibration set is sharded over 'data'; each capture
+    forward is SPMD and the cached activations stay sharded in device
+    memory (replacing per-rank calibration shards, :165).
+  * reconstruction: the engine's jitted step runs under the mesh with the
+    cached tensors batch-sharded; minibatch gathers and the gradient
+    all-reduce are inserted by GSPMD (replacing block_recon.py:100-102).
+
+Multi-host entry: call ``init_multihost()`` (jax.distributed.initialize)
+before device queries; the same code then spans hosts with the mesh laid
+out DCN(data) x ICI(model).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graph import Flags, Graph, forward
+from .mesh import batch_sharding, make_mesh, shard_batch, shard_params, \
+    shard_qstate
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None):
+    """jax.distributed.initialize with env-var fallbacks. No-op when
+    single-process (the common single-host case)."""
+    if num_processes is None:
+        num_processes = int(os.environ.get("SSQ_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator or os.environ["SSQ_COORDINATOR"],
+        num_processes=num_processes,
+        process_id=process_id
+        if process_id is not None else int(os.environ["SSQ_PROCESS_ID"]))
+    return True
+
+
+def pad_to_multiple(x, m: int, axis: int = 0):
+    """Pad batch axis to a multiple of the data-axis size (static shapes)."""
+    n = x.shape[axis]
+    rem = (-n) % m
+    if rem == 0:
+        return x, n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad), n
+
+
+def sharded_validate(graph: Graph, params, qstate, data: Iterable,
+                     mesh: Mesh, flags: Flags = Flags(), topk=(1, 5)):
+    """Top-k accuracy with batches sharded over mesh['data'].
+
+    Replaces the reference's per-rank validate + allreduce
+    (main_imagenet_dist.py:82-124): the jitted program computes sharded
+    logits and reduces correct-counts across the mesh automatically.
+    """
+    n_data = mesh.shape["data"]
+    maxk = max(topk)
+
+    @partial(jax.jit, static_argnames=())
+    def batch_correct(params, qstate, xb, yb, valid):
+        logits = forward(graph, params, qstate, xb, flags)
+        _, pred = jax.lax.top_k(logits, maxk)
+        hit = (pred == yb[:, None]) & valid[:, None]
+        return jnp.stack([hit[:, :k].any(axis=1).sum() for k in topk])
+
+    totals = np.zeros(len(topk), np.int64)
+    n = 0
+    with mesh:
+        for xb, yb in data:
+            xb = jnp.asarray(xb)
+            yb = jnp.asarray(yb)
+            n += xb.shape[0]
+            xb, real = pad_to_multiple(xb, n_data)
+            yb, _ = pad_to_multiple(yb, n_data)
+            valid = jnp.arange(xb.shape[0]) < real
+            xb = shard_batch(xb, mesh)
+            yb = jax.device_put(yb, batch_sharding(mesh))
+            valid = jax.device_put(valid, batch_sharding(mesh))
+            totals += np.asarray(batch_correct(params, qstate, xb, yb, valid))
+    return {f"top{k}": 100.0 * totals[i] / max(n, 1)
+            for i, k in enumerate(topk)}
+
+
+def sharded_capture(graph: Graph, params, qstate, target: str, cali_data,
+                    mesh: Mesh, inp_flags: Flags, out_flags: Flags,
+                    batch_size: int = 64):
+    """capture_io with the calibration set sharded over mesh['data'];
+    returns batch-sharded cached activations (they never leave the mesh)."""
+    from ..recon.capture import capture_io
+    n_data = mesh.shape["data"]
+    with mesh:
+        cali, _ = pad_to_multiple(jnp.asarray(cali_data), n_data)
+        cali = shard_batch(cali, mesh)
+        return capture_io(graph, params, qstate, target, cali,
+                          inp_flags, out_flags, batch_size=batch_size)
+
+
+def sharded_reconstruct(graph: Graph, params, qstate, node_name: str,
+                        cached_inp, cached_out, settings, key, mesh: Mesh):
+    """Run the reconstruction engine under the mesh: params/qstate sharded
+    over out-channels on 'model', cache batch-sharded on 'data'; the jitted
+    step's gradient reduction is GSPMD-inserted."""
+    from ..recon.engine import reconstruct_node
+    with mesh:
+        params = shard_params(params, mesh)
+        qstate = shard_qstate(qstate, mesh)
+        return reconstruct_node(graph, params, qstate, node_name,
+                                cached_inp, cached_out, settings, key)

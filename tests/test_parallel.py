@@ -1,0 +1,96 @@
+"""Multi-device (8 virtual CPU devices) sharding tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import shiftedscalequantization_tpu as ssq
+from shiftedscalequantization_tpu.graph import Flags
+from shiftedscalequantization_tpu.models import resnet
+from shiftedscalequantization_tpu.parallel import dist, make_mesh, \
+    shard_batch, shard_params
+from shiftedscalequantization_tpu.recon import ReconSettings, capture_io
+from shiftedscalequantization_tpu.recon.engine import reconstruct_node
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() >= 8, "needs 8 faked devices (see conftest)"
+    graph = resnet.build_resnet(18, num_classes=10, variant="cifar")
+    raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+    cfg = ssq.QuantConfig(n_bits_w=2, n_bits_a=4, w_scale_method="max",
+                          use_8bit_head_stem=False)
+    params, qstate = ssq.prepare_model(graph, raw, cfg)
+    cali = jax.random.normal(jax.random.PRNGKey(1), (128, 16, 16, 3))
+    return graph, params, qstate, cali
+
+
+class TestShardedEval:
+    def test_matches_single_device(self, setup):
+        graph, params, qstate, cali = setup
+        labels = jax.random.randint(jax.random.PRNGKey(2), (128,), 0, 10)
+        data = [(np.asarray(cali[i:i + 32]), np.asarray(labels[i:i + 32]))
+                for i in range(0, 128, 32)]
+        from shiftedscalequantization_tpu.utils.eval import validate_model
+        single = validate_model(graph, params, qstate, data,
+                                Flags().all_weights(graph))
+        mesh = make_mesh(n_data=8, n_model=1)
+        multi = dist.sharded_validate(graph, params, qstate, data, mesh,
+                                      Flags().all_weights(graph))
+        assert single == multi
+
+    def test_uneven_batch_padding(self, setup):
+        graph, params, qstate, cali = setup
+        labels = jax.random.randint(jax.random.PRNGKey(2), (30,), 0, 10)
+        data = [(np.asarray(cali[:30]), np.asarray(labels))]  # 30 % 8 != 0
+        mesh = make_mesh(n_data=8, n_model=1)
+        acc = dist.sharded_validate(graph, params, qstate, data, mesh)
+        assert 0.0 <= acc["top1"] <= 100.0
+
+
+class TestShardedCaptureRecon:
+    def test_sharded_capture_matches(self, setup):
+        graph, params, qstate, cali = setup
+        mesh = make_mesh(n_data=8, n_model=1)
+        cin_s, cout_s = dist.sharded_capture(
+            graph, params, qstate, "model.layer1.0", cali, mesh,
+            Flags(), Flags(), batch_size=64)
+        cin, cout = capture_io(graph, params, qstate, "model.layer1.0",
+                               cali, Flags(), Flags(), batch_size=64)
+        np.testing.assert_allclose(np.asarray(cin_s), np.asarray(cin),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cout_s), np.asarray(cout),
+                                   atol=1e-6)
+
+    def test_sharded_recon_step_matches_single(self, setup):
+        """Same seed + same cache -> sharded and single-device fused recon
+        produce the same hardened quantizer (GSPMD changes layout, not
+        math)."""
+        graph, params, qstate, cali = setup
+        name = "model.layer1.0"
+        cin, cout = capture_io(graph, params, qstate, name, cali,
+                               Flags(), Flags(), batch_size=64)
+        s = ReconSettings(mode="fused", iters=30, batch_size=16,
+                          shift_targets=(1 - 1 / 32, 1 + 1 / 32, 1.0))
+        key = jax.random.PRNGKey(5)
+        qs_single, m1 = reconstruct_node(graph, params, qstate, name,
+                                         cin, cout, s, key)
+        mesh = make_mesh(n_data=4, n_model=2)
+        qs_multi, m2 = dist.sharded_reconstruct(
+            graph, params, qstate, name, cin, cout, s, key, mesh)
+        a1 = np.asarray(qs_single["model.layer1.0.conv1"].wq.alpha)
+        a2 = np.asarray(qs_multi["model.layer1.0.conv1"].wq.alpha)
+        np.testing.assert_allclose(a1, a2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(m1["hard_loss"]),
+                                   float(m2["hard_loss"]), rtol=1e-4)
+
+
+class TestShardings:
+    def test_param_oc_sharding(self, setup):
+        graph, params, _, _ = setup
+        mesh = make_mesh(n_data=4, n_model=2)
+        sp = shard_params(params, mesh)
+        w = sp["model.layer1.0.conv1"]["w"]
+        shard_shapes = {s.data.shape for s in w.addressable_shards}
+        # OC=64 split over 2 model shards (each shard replicated 4x on data)
+        assert (32, 64, 3, 3) in shard_shapes
