@@ -59,9 +59,25 @@ def _synthetic(n, hw, num_classes, seed):
     return images, labels
 
 
+def _make_loader(images, labels, batch_size, shuffle, seed, shard,
+                 use_native: Optional[bool] = None):
+    """Prefer the native C++ pipeline (threaded prefetch) when built."""
+    if use_native is not False:
+        try:
+            from .native_loader import NativeLoader, native_available
+            if native_available():
+                return NativeLoader(images, labels, batch_size=batch_size,
+                                    shuffle=shuffle, seed=seed, shard=shard)
+        except Exception:
+            if use_native:
+                raise
+    return ArrayLoader(images, labels, batch_size=batch_size,
+                       shuffle=shuffle, seed=seed, shard=shard)
+
+
 def build_cifar10_data(batch_size: int = 64, data_path: str = "~/dataset/cifar10",
                        seed: int = 1005, shard=(0, 1), synthetic: Optional[bool] = None,
-                       synthetic_n: int = 2048):
+                       synthetic_n: int = 2048, use_native: Optional[bool] = None):
     """Returns (train_loader, test_loader) of normalized NHWC float32."""
     data_path = os.path.expanduser(data_path)
     if synthetic is None:
@@ -73,9 +89,10 @@ def build_cifar10_data(batch_size: int = 64, data_path: str = "~/dataset/cifar10
         tr, te = _load_cifar10_dir(data_path)
         tr = ((tr[0] / 255.0 - CIFAR_MEAN) / CIFAR_STD, tr[1])
         te = ((te[0] / 255.0 - CIFAR_MEAN) / CIFAR_STD, te[1])
-    train = ArrayLoader(*tr, batch_size=batch_size, shuffle=True, seed=seed,
-                        shard=shard)
-    test = ArrayLoader(*te, batch_size=batch_size, shard=shard)
+    train = _make_loader(*tr, batch_size=batch_size, shuffle=True, seed=seed,
+                         shard=shard, use_native=use_native)
+    test = _make_loader(*te, batch_size=batch_size, shuffle=False, seed=seed,
+                        shard=shard, use_native=use_native)
     return train, test
 
 
