@@ -75,12 +75,34 @@ def main(argv=None):
         acc = validate_model(graph, params, qstate, test_loader)
         print(f"accuracy of FP model: {acc}")
 
+    ckpt_path = (f"{args.checkpoint_dir}/{args.dataset}_QNN_CW_"
+                 f"W{args.n_bits_w}_A{args.n_bits_a}")
+    recon_ckpt = f"{args.checkpoint_dir}/QNN_W{args.n_bits_w}_A{args.n_bits_a}"
+
+    if args.eval_only:
+        # checkpoint replay (reference myProject.py:71-89)
+        qstate, done = ckpt.load_qstate(recon_ckpt)
+        prefix = Flags(output_affine=args.bias_cal).all_weights(graph)
+        aflags = act_flags(graph, cfg, base=prefix) if args.act_quant \
+            else prefix
+        acc = validate_model(graph, params, qstate, test_loader, aflags)
+        print(f"eval-only W{args.n_bits_w}A{args.n_bits_a} "
+              f"(done={len(done)} layers): {acc}")
+        return acc
+
     # weight-quantizer scale init happened eagerly in prepare_model; act
     # init on the first 64 calibration samples (reference lazy-init pass,
     # ShiftedScaleQuant.py:228-229)
     if args.act_quant:
         qstate = calibrate_acts(graph, params, qstate, cali_data[:64], cfg,
                                 flags=wflags)
+    if args.make_checkpoint:
+        # save initialized (pre-recon) quantizer state and exit (reference
+        # init_delta_zero, myScaledMethods.py:207-261 + --make_checkpoint
+        # early exit, ShiftedScaleQuant.py:376-379)
+        ckpt.save_qstate(ckpt_path, qstate)
+        print(f"Making checkpoint data done -> {ckpt_path}.pkl")
+        return None
     if not args.skip_test:
         acc = validate_model(graph, params, qstate, test_loader, wflags)
         print(f"accuracy of qnn (with cal.): {acc}")
@@ -104,6 +126,11 @@ def main(argv=None):
         opt_beta=args.opt_beta, opt_output_affine=args.bias_cal)
 
     targets = reconstruction_targets(graph)
+    done: list = []
+    if args.resume and ckpt.exists(recon_ckpt):
+        qstate, done = ckpt.load_qstate(recon_ckpt)
+        print(f"Resumed from {recon_ckpt}.pkl ({len(done)} layers done)")
+    pending = [t for t in targets if t not in done]
     accs = []
 
     def on_done(name, qs, metrics, prefix):
@@ -111,19 +138,31 @@ def main(argv=None):
         hl = float(metrics.get("hard_loss", jnp.nan))
         print(f"Reconstructed {name}: soft {sl:.6f} -> hard {hl:.6f} "
               f"({metrics['wall_s']:.1f}s)")
+        done.append(name)
+        ckpt.save_qstate(recon_ckpt, qs, done=done)  # per-layer resume point
         if not args.skip_test:
-            a = validate_model(graph, params, qs, test_loader,
-                               dataclasses.replace(prefix,
-                                                   weight_on=prefix.weight_on))
+            # accuracy check with ALL weight quantizers on (the reference's
+            # set_quant_state(True, False) + store/restore around the test
+            # area, ShiftedScaleQuant.py:263-278) — capture keeps using the
+            # accumulating prefix, only the eval flips everything on
+            a = validate_model(graph, params, qs, test_loader, wflags)
             accs.append(a["top1"])
             print(f"accuracy of qnn_hard {name}: {a}")
             notify(f"{name}: {a}")
 
+    # prefix flags start with already-done layers quantized (resume case)
+    base = Flags(output_affine=args.bias_cal)
+    if done:
+        from .graph import find_node, node_unit_names
+        units = set()
+        for t in done:
+            units.update(node_unit_names(find_node(graph, t)))
+        base = dataclasses.replace(base, weight_on=frozenset(units))
+
     qstate, history, prefix = reconstruct_model(
-        graph, params, qstate, targets, cali_data, settings,
+        graph, params, qstate, pending, cali_data, settings,
         jax.random.PRNGKey(args.seed), batch_size=args.batch_size,
-        base_flags=Flags(output_affine=args.bias_cal),
-        on_node_done=on_done)
+        base_flags=base, on_node_done=on_done)
 
     # act phase (BRECQ main_imagenet.py:233-244): learn act deltas
     if args.act_quant and args.mode == "brecq" and args.iters_a > 0:
@@ -134,7 +173,7 @@ def main(argv=None):
             jax.random.PRNGKey(args.seed + 1), batch_size=args.batch_size,
             base_flags=prefix, act_phase=True)
 
-    aflags = act_flags(graph, cfg, base=prefix) if args.act_quant else prefix
+    aflags = act_flags(graph, cfg, base=wflags) if args.act_quant else wflags
     final = validate_model(graph, params, qstate, test_loader, aflags)
     print(f"Final W{args.n_bits_w}A{args.n_bits_a} accuracy: {final} "
           f"({timer.lap():.1f}s total)")
@@ -142,10 +181,7 @@ def main(argv=None):
         f"{args.mode},{args.arch},W{args.n_bits_w}A{args.n_bits_a},"
         f"lmda={args.lmda},st={shift_targets}",
         {"accs": accs, "final": final})
-    if args.make_checkpoint:
-        ckpt.save_qstate(
-            f"{args.checkpoint_dir}/QNN_W{args.n_bits_w}_A{args.n_bits_a}",
-            qstate, done=list(targets))
+    ckpt.save_qstate(recon_ckpt, qstate, done=done)
     return final
 
 

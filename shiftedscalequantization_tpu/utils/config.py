@@ -88,6 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", default="fused", type=str,
                    choices=["fused", "brecq", "two_phase", "mse"],
                    help="reconstruction pipeline")
+    p.add_argument("--eval_only", default=False, type=_boolish,
+                   help="load checkpoint and evaluate (myProject.py replay)")
     return p
 
 
