@@ -123,7 +123,8 @@ def main(argv=None):
         warmup=args.warmup, weight=args.weight,
         lmda_r=0.01, lmda_s=args.lmda,
         shift_targets=shift_targets if args.bias_ch_quant else (1.0,),
-        opt_beta=args.opt_beta, opt_output_affine=args.bias_cal)
+        opt_beta=args.opt_beta, opt_output_affine=args.bias_cal,
+        rec_loss=args.opt_mode)
 
     targets = reconstruction_targets(graph)
     done: list = []

@@ -357,6 +357,53 @@ def apply_node(node: Node, params, qstate, x, flags: Flags = Flags()):
     return _node_forward(node, params, qstate, x, ctx)
 
 
+def forward_from(graph: Graph, params, qstate, after: str, t,
+                 flags: Flags = Flags()):
+    """Resume the forward from the output of top-level node ``after`` —
+    used to differentiate the network output w.r.t. an intermediate
+    activation (the reference reads this gradient via a backward hook,
+    data_utils.py:155-192)."""
+    ctx = _Ctx(flags, "run", None, None, None, None)
+    seen = False
+    out = t
+    for node in graph:
+        if not seen:
+            if node.name == after:
+                seen = True
+            continue
+        out = _node_forward(node, params, qstate, out, ctx)
+    if not seen:
+        raise KeyError(after)
+    return out
+
+
+def prefix_flags_till(graph: Graph, target: str, act_quant: bool = False,
+                      base: Flags = Flags()) -> Flags:
+    """Weight (and optionally act) quant enabled for every unit up to AND
+    INCLUDING ``target`` (the reference's quantize_model_till,
+    data_utils.py:195-206)."""
+    w_on, a_on = set(base.weight_on), set(base.act_on)
+    for node in graph:
+        names = []
+        if isinstance(node, UnitSpec):
+            names = [node.name]
+        elif isinstance(node, BlockSpec):
+            names = [u.name for u in node.units]
+            if node.downsample is not None:
+                names.append(node.downsample.name)
+            names.append(node.name)  # block act site
+        w_on.update(n for n in names if n != node.name or
+                    isinstance(node, UnitSpec))
+        if act_quant:
+            a_on.update(names)
+        hit = node.name == target or any(
+            n == target for n in names)
+        if hit:
+            break
+    return dataclasses.replace(base, weight_on=frozenset(w_on),
+                               act_on=frozenset(a_on))
+
+
 def node_unit_names(node: Node):
     """Unit names inside a node (downsample included), in the reference's
     module-iteration order."""

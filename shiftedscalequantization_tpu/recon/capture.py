@@ -55,3 +55,42 @@ def capture_io(graph: Graph, params, qstate, target: str, cali_data,
     cached_inp = run(inp_flags, want_input=True)
     cached_out = run(out_flags, want_input=False)
     return cached_inp, cached_out
+
+
+def capture_grads(graph: Graph, params, qstate, target: str, cali_data,
+                  batch_size: int = 32, act_quant: bool = False,
+                  damping: float = 1.0):
+    """Fisher-information proxy: |d KL(quant || fp) / d target_output| + 1.
+
+    Reimplements save_grad_data + GetLayerGrad (reference
+    data_utils.py:40-71,155-192): the network is quantized up to and
+    including ``target`` (quantize_model_till), the KL divergence between
+    its softmax output and the FP model's is differentiated w.r.t. the
+    target node's output activation — here via jax.vjp through
+    ``forward_from`` instead of a backward hook.
+    """
+    from ..graph import Flags, forward, forward_from, prefix_flags_till
+    qflags = prefix_flags_till(graph, target, act_quant=act_quant)
+
+    @jax.jit
+    def grad_batch(params, qstate, xb):
+        fp_out = forward(graph, params, qstate, xb, Flags())
+        p_fp = jax.nn.softmax(fp_out, axis=1)
+        _, t = forward(graph, params, qstate, xb, qflags, capture=target)
+
+        def kl_from_t(t):
+            out_q = forward_from(graph, params, qstate, target, t, qflags)
+            logq = jax.nn.log_softmax(out_q, axis=1)
+            # F.kl_div(log_softmax(q), softmax(fp), 'batchmean')
+            logp = jnp.log(jnp.clip(p_fp, 1e-12))
+            return (p_fp * (logp - logq)).sum() / xb.shape[0]
+
+        return jax.grad(kl_from_t)(t)
+
+    n = cali_data.shape[0]
+    outs = []
+    for i in range(max(n // batch_size, 1)):
+        xb = cali_data[i * batch_size:(i + 1) * batch_size]
+        outs.append(grad_batch(params, qstate, xb))
+    grads = jnp.concatenate(outs, axis=0)
+    return jnp.abs(grads) + damping

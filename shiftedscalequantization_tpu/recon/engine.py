@@ -67,12 +67,32 @@ class ReconSettings:
     opt_beta: bool = False
     opt_output_affine: bool = False
     grad_psum_axis: Optional[str] = None   # pmean grads across this mesh axis
+    # reconstruction-loss form (reference --opt_mode / rec_loss,
+    # layer_recon.py:142-150): 'mse' | 'fisher_diag' | 'fisher_full';
+    # fisher modes need cached_grads passed to reconstruct_node
+    rec_loss: str = "mse"
 
 
 def lp_loss_cl(pred, tgt, p):
     """Reference lp_loss on channels-last tensors: sum over the channel
     axis, mean over the rest (equivalent to sum(1).mean() on NCHW)."""
     return (jnp.abs(pred - tgt) ** p).sum(axis=-1).mean()
+
+
+def rec_loss_fn(pred, tgt, grad, kind: str, p: float):
+    """Reconstruction loss forms (reference layer_recon.py:142-150),
+    channels-last."""
+    if kind == "mse" or grad is None:
+        return lp_loss_cl(pred, tgt, p)
+    if kind == "fisher_diag":
+        return (((pred - tgt) ** 2) * (grad ** 2)).sum(axis=-1).mean()
+    if kind == "fisher_full":
+        a = jnp.abs(pred - tgt)
+        g = jnp.abs(grad)
+        axes = tuple(range(1, a.ndim))
+        dot = (a * g).sum(axis=axes).reshape((-1,) + (1,) * (a.ndim - 1))
+        return (dot * a * g).mean() / 100.0
+    raise ValueError(kind)
 
 
 # ---------------------------------------------------------------------------
@@ -245,8 +265,11 @@ def _chunked_scan(step_body, theta, opt_state, key, iters: int,
 
 def reconstruct_node(graph, params, qstate, node_name: str,
                      cached_inp, cached_out, s: ReconSettings,
-                     key: jax.Array):
-    """Run one reconstruction. Returns (new_qstate, metrics)."""
+                     key: jax.Array, cached_grads=None):
+    """Run one reconstruction. Returns (new_qstate, metrics).
+
+    ``cached_grads`` (from recon.capture.capture_grads) enables the
+    Fisher-weighted loss forms when s.rec_loss != 'mse'."""
     node = find_node(graph, node_name)
     is_block = isinstance(node, BlockSpec)
     unit_names = node_unit_names(node)
@@ -256,10 +279,10 @@ def reconstruct_node(graph, params, qstate, node_name: str,
     flags = Flags(weight_on=frozenset(unit_names),
                   output_affine=s.opt_output_affine)
 
-    def loss_fn(th, xb, yb, step):
+    def loss_fn(th, xb, yb, gb, step):
         qs = _insert_theta(qstate, th)
         pred = apply_node(node, params, qs, xb, flags)
-        rec = lp_loss_cl(pred, yb, p_norm)
+        rec = rec_loss_fn(pred, yb, gb, s.rec_loss, p_norm)
         reg = _reg_terms(qs, unit_names, step, s, is_block)
         return rec + reg, rec
 
@@ -273,8 +296,10 @@ def reconstruct_node(graph, params, qstate, node_name: str,
         idx = jax.random.permutation(k, n)[: s.batch_size]
         xb = cached_inp[idx].astype(jnp.float32)
         yb = cached_out[idx].astype(jnp.float32)
+        gb = cached_grads[idx].astype(jnp.float32) \
+            if cached_grads is not None else None
         (loss, rec), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(th, xb, yb, i.astype(jnp.float32))
+            loss_fn, has_aux=True)(th, xb, yb, gb, i.astype(jnp.float32))
         if s.grad_psum_axis is not None:
             grads = jax.lax.pmean(grads, s.grad_psum_axis)
         updates, opt = tx.update(grads, opt, th)
@@ -293,11 +318,13 @@ def reconstruct_node(graph, params, qstate, node_name: str,
     # layer_recon_fused_shiftedScale.py:117-137)
     xb = cached_inp[: s.batch_size].astype(jnp.float32)
     yb = cached_out[: s.batch_size].astype(jnp.float32)
+    gb0 = cached_grads[: s.batch_size].astype(jnp.float32) \
+        if cached_grads is not None else None
 
     @jax.jit
     def eval_rec(qs):
         pred = apply_node(node, params, qs, xb, flags)
-        return lp_loss_cl(pred, yb, p_norm)
+        return rec_loss_fn(pred, yb, gb0, s.rec_loss, p_norm)
 
     metrics["soft_loss"] = eval_rec(qstate)
     qstate = _harden(qstate, unit_names, s.mode)

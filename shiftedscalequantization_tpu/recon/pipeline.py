@@ -53,6 +53,11 @@ def reconstruct_model(graph: Graph, params, qstate,
             graph, params, qstate, name, cali_data,
             inp_flags=prefix, out_flags=Flags(), batch_size=batch_size,
             cache_dtype=cache_dtype)
+        cached_grads = None
+        if not act_phase and settings.rec_loss != "mse":
+            from .capture import capture_grads
+            cached_grads = capture_grads(graph, params, qstate, name,
+                                         cali_data, batch_size=32)
         if act_phase:
             qstate, metrics = reconstruct_act_delta(
                 graph, params, qstate, name, cached_inp, cached_out,
@@ -60,8 +65,8 @@ def reconstruct_model(graph: Graph, params, qstate,
         else:
             qstate, metrics = reconstruct_node(
                 graph, params, qstate, name, cached_inp, cached_out,
-                settings, sub)
-        del cached_inp, cached_out
+                settings, sub, cached_grads=cached_grads)
+        del cached_inp, cached_out, cached_grads
         # keep this node quantized for subsequent captures (asym recon)
         prefix = dataclasses.replace(
             prefix, weight_on=prefix.weight_on

@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reconstruction pipeline")
     p.add_argument("--eval_only", default=False, type=_boolish,
                    help="load checkpoint and evaluate (myProject.py replay)")
+    p.add_argument("--opt_mode", default="mse", type=str,
+                   choices=["mse", "fisher_diag", "fisher_full"],
+                   help="reconstruction loss form (BRECQ opt_mode)")
     return p
 
 
