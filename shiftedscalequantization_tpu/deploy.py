@@ -260,10 +260,16 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                     (-1,) + (1,) * (d.w_int.ndim - 1))
                 sc = None
             if spec.kind == "conv":
+                # HIGHEST: TPU default f32 convs run reduced-precision bf16
+                # passes whose drift flips 4-bit act codes downstream
                 out = conv2d(xf, w_eff, None, spec.stride, spec.padding,
-                             spec.groups).astype(jnp.float32)
+                             spec.groups,
+                             precision=jax.lax.Precision.HIGHEST
+                             ).astype(jnp.float32)
             else:
-                out = (xf @ w_eff.T).astype(jnp.float32)
+                out = jnp.matmul(
+                    xf, w_eff.T,
+                    precision=jax.lax.Precision.HIGHEST).astype(jnp.float32)
             if sc is not None:
                 out = out * sc
             out = out + d.bias

@@ -78,3 +78,46 @@ class TestQuantMatmul:
         y = pmm.quant_conv1x1(x, w, jnp.ones(16), jnp.zeros(16), 0.1, 0.0,
                               4, stride=(2, 2), interpret=True)
         assert y.shape == (1, 4, 4, 16)
+
+
+class TestPackedMatmul:
+    def test_pack_unpack_roundtrip(self):
+        from shiftedscalequantization_tpu.ops.pallas import packed as P
+        rng = np.random.default_rng(7)
+        for bits in (2, 4, 8):
+            q = jnp.asarray(rng.integers(0, 2 ** bits, (67, 32)),
+                            dtype=jnp.int32)
+            w = P.pack_codes(q, bits)
+            back = P.unpack_codes(w, bits, 67)
+            np.testing.assert_array_equal(np.asarray(back), np.asarray(q))
+            assert w.shape[0] == -(-67 // (32 // bits))
+
+    def test_packed_matches_reference(self):
+        from shiftedscalequantization_tpu.ops.pallas import packed as P
+        rng = np.random.default_rng(8)
+        m, k, n, bits = 32, 64, 48, 2
+        x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+        q_raw = rng.integers(0, 4, (k, n))
+        w_zp = rng.integers(0, 4, (n,)).astype(np.float32)
+        wp = P.pack_codes(jnp.asarray(q_raw, jnp.int32), bits)
+        scale = jnp.asarray(rng.uniform(0.01, 0.1, n).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        delta, zp, nb = 0.05, 7.0, 4
+        got = P.packed_quant_matmul(x, wp, jnp.asarray(w_zp), scale, bias,
+                                    delta, zp, bits, nb, interpret=True)
+        qx = np.clip(np.round(np.asarray(x) / delta) + zp, 0, 15) - zp
+        wc = q_raw - w_zp[None, :]
+        want = (qx @ wc) * (np.asarray(scale) * delta) + np.asarray(bias)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-4)
+
+    def test_w4_with_relu(self):
+        from shiftedscalequantization_tpu.ops.pallas import packed as P
+        rng = np.random.default_rng(9)
+        q_raw = rng.integers(0, 16, (128, 64))
+        wp = P.pack_codes(jnp.asarray(q_raw, jnp.int32), 4)
+        x = jnp.asarray(rng.normal(size=(16, 128)).astype(np.float32))
+        y = P.packed_quant_matmul(
+            x, wp, jnp.full((64,), 8.0), jnp.full((64,), 0.02),
+            jnp.zeros(64), 0.1, 7.0, 4, 4, relu=True, interpret=True)
+        assert y.shape == (16, 64) and float(y.min()) >= 0.0
