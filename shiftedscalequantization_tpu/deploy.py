@@ -15,8 +15,11 @@ rounding, with no zero-point correction terms. gamma^z/phi^z
 
 W2/W4 codes are stored as int8 (the MXU consumes int8 operands; sub-byte
 packing is a memory-format optimization layered underneath in the Pallas
-kernels). Units whose centered codes exceed int8 range (asymmetric 8-bit
-head/stem) fall back to bf16 weights — standard practice for head/stem.
+kernels). Units whose centered codes exceed int8 (asymmetric 8-bit
+head/stem) keep exact f32 integer codes and run Precision.HIGH convs;
+8-bit-unsigned-fed consumers split the codes into two nibbles and run two
+int8 MXU convs (exact). Activations travel between units as int8 codes
+(centered, or biased by 128 for 8-bit unsigned sites).
 """
 from __future__ import annotations
 
@@ -36,7 +39,9 @@ from .ops import wquant as W
 class DeployUnit:
     """Execution-ready unit parameters (weights pre-converted offline)."""
     w_int: Optional[jax.Array]     # int8 centered weight codes (OIHW / OI)
-    w_bf16: Optional[jax.Array]    # float fallback weights (8-bit asym units)
+    w_fp: Optional[jax.Array]      # f32 centered codes when |codes| > 127
+                                   # (8-bit asym units) — still exact
+                                   # integers, bf16-representable
     scale: jax.Array               # per-OC epilogue scale (dw * alpha_out)
     bias: jax.Array                # folded bias (* alpha_out + beta_out)
 
@@ -91,16 +96,15 @@ def build_deploy_params(graph: Graph, params, qstate,
         cmax = float(jnp.max(jnp.abs(centered)))
         if cmax <= 127:
             out[u.name] = DeployUnit(
-                w_int=centered.astype(jnp.int8), w_bf16=None,
+                w_int=centered.astype(jnp.int8), w_fp=None,
                 scale=scale_oc * a_out, bias=b * a_out + b_out)
         else:
-            # float32, not bf16: fallback units feed 4-bit act quantizers
-            # whose coarse steps amplify bf16 drift across rounding
-            # boundaries; only the asym-8-bit head/stem lands here so the
-            # cost is negligible
-            w_eff = centered * W._bshape(delta_oc, w)
+            # 8-bit asym head/stem: keep exact integer codes in f32 and
+            # fold delta into the epilogue scale (codes are
+            # bf16-representable -> Precision.HIGH convs stay exact in w)
             out[u.name] = DeployUnit(
-                w_int=None, w_bf16=w_eff, scale=a_out, bias=b * a_out + b_out)
+                w_int=None, w_fp=centered, scale=scale_oc * a_out,
+                bias=b * a_out + b_out)
     return out
 
 
@@ -145,27 +149,94 @@ def _feeding_sites(graph: Graph, act_steps: dict) -> dict:
     return feed
 
 
-def make_deploy_plan(graph: Graph, dparams: dict, act_steps: dict) -> dict:
-    """Static execution plan: unit -> ('int8'|'bf16', feeding site).
+def s2d_kernel(w_oihw: jax.Array) -> jax.Array:
+    """Space-to-depth rewrite of a 7x7 stride-2 pad-3 conv kernel.
 
-    int8 requires (a) int weight codes and (b) the feeding activation's
-    centered codes to fit int8 — an 8-bit act site with zp~0 spans 0..255
-    and must take the bf16 path (head/stem consumers). Computed once on
-    concrete values so the forward itself is jittable."""
+    With the input rearranged (B, 2H', 2W', C) -> (B, H', W', 4C) via
+    x'[j, (ph, pw, c)] = x[2j+ph, ...], the conv becomes 4x4 stride-1 with
+    asymmetric padding (2, 1): out[i] = sum_k K'[k] x'[i + k - 2] where
+    K'[k, (ph, pw, c)] = K[2(k-2) + ph + 3] (zero outside [0, 7)).
+    Exact — integer codes stay integers. ~4x better MXU utilization on the
+    3-channel stem (the single biggest int8-path deficit on ResNet-18).
+    """
+    o, c, kh, kw = w_oihw.shape
+    assert (kh, kw) == (7, 7)
+    wp = jnp.zeros((o, 2, 2, c, 4, 4), w_oihw.dtype)
+    for k_h in range(4):
+        for ph in range(2):
+            m_h = 2 * (k_h - 2) + ph + 3
+            if not 0 <= m_h < 7:
+                continue
+            for k_w in range(4):
+                for pw in range(2):
+                    m_w = 2 * (k_w - 2) + pw + 3
+                    if not 0 <= m_w < 7:
+                        continue
+                    wp = wp.at[:, ph, pw, :, k_h, k_w].set(
+                        w_oihw[:, :, m_h, m_w])
+    return wp.reshape(o, 4 * c, 4, 4)
+
+
+def space_to_depth(x_nhwc: jax.Array) -> jax.Array:
+    """(B, 2H', 2W', C) -> (B, H', W', 4C), channel order (ph, pw, c)."""
+    b, h, w, c = x_nhwc.shape
+    x = x_nhwc.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def make_deploy_plan(graph: Graph, dparams: dict, act_steps: dict) -> dict:
+    """Static execution plan: unit -> (kind, feeding site), kind in:
+
+      'int8'      — feeding codes fit int8: single MXU int conv
+      'int8_pair' — 8-bit unsigned feeding codes (zp==0): split q into
+                    high/low nibbles, two int8 convs, acc = 16*hi + lo —
+                    exact, and ~3x faster than the f32-HIGHEST fallback
+                    (profiling: stem-fed layer1 was the entire int8-path
+                    deficit on ResNet-18)
+      'float'     — everything else (raw image input, no int weights, ...);
+                    integer-code weights run at Precision.HIGH (codes are
+                    exactly bf16-representable, so only the activation
+                    splits — near-f32 at half the HIGHEST cost), true-float
+                    weights at HIGHEST (bf16 drift flips low-bit act codes
+                    downstream)
+
+    Computed once on concrete values so the forward itself is jittable."""
+    return _make_plan(graph, dparams, act_steps, use_s2d_stem=False)
+
+
+def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool):
     import numpy as np
     feed = _feeding_sites(graph, act_steps)
     plan = {}
     for u in iter_units(graph):
         d = dparams[u.name]
         site = feed[u.name]
-        ok = d.w_int is not None and site is not None
-        if ok:
+        kind = "float"
+        if d.w_int is not None and site is not None:
             delta, zp, n_bits = act_steps[site]
             zpv = float(np.asarray(zp).reshape(-1)[0])
-            ok = ((2 ** n_bits - 1) - zpv <= 127) and (-zpv >= -128)
-        plan[u.name] = ("int8" if ok else "bf16", site)
+            if ((2 ** n_bits - 1) - zpv <= 127) and (-zpv >= -128):
+                kind = "int8"
+            elif n_bits == 8 and zpv == 0.0:
+                kind = "int8_pair"
+        # optional stem rewrite: 7x7/s2/p3 conv -> space-to-depth 4x4/s1.
+        # Off by default: measured on v5e the input-relayout transpose costs
+        # more than the improved MXU utilization saves (10.2 vs 9.0 ms/batch
+        # on ResNet-18@256); revisit with a fused Pallas s2d+conv kernel.
+        if (use_s2d_stem and kind == "float" and u.kind == "conv"
+                and u.kernel == (7, 7) and u.stride == (2, 2)
+                and u.padding == (3, 3) and u.groups == 1):
+            kind = "float_s2d"
+        plan[u.name] = (kind, site)
     plan["__int8_sites__"] = frozenset(
         s for s in act_steps if _site_fits_int8_concrete(act_steps[s]))
+    # 8-bit unsigned sites (zp==0): transport as biased (q-128) int8 codes
+    plan["__biased_sites__"] = frozenset(
+        s for s in act_steps
+        if s not in plan["__int8_sites__"]
+        and act_steps[s][2] == 8
+        and float(np.asarray(act_steps[s][1]).reshape(-1)[0]) == 0.0)
     return plan
 
 
@@ -213,12 +284,15 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
     if plan is None:
         plan = make_deploy_plan(graph, dparams, act_steps)
     _int8_sites = plan["__int8_sites__"]
+    _biased_sites = plan.get("__biased_sites__", frozenset())
 
     def to_float(v):
         kind, t, site = v
         if kind == "f32":
             return t
         delta, zp, _ = act_steps[site]
+        if kind == "biased":
+            return (t.astype(jnp.float32) + 128.0) * delta
         return t.astype(jnp.float32) * delta
 
     def quantize_out(t_float, site):
@@ -230,8 +304,18 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
         if site in _int8_sites:
             return ("codes", _quant_centered(t_float, delta, zp, n_bits),
                     site)
+        if site in _biased_sites:
+            q = jnp.clip(jnp.round(t_float / delta), 0, 255)
+            return ("biased", (q - 128).astype(jnp.int8), site)
         q = jnp.clip(jnp.round(t_float / delta) + zp, 0, 2 ** n_bits - 1)
         return ("f32", (q - zp) * delta, None)
+
+    def _int_acc(spec, xi, w_int):
+        if spec.kind == "conv":
+            return _int_conv(xi, w_int, spec.stride, spec.padding,
+                             spec.groups)
+        return jax.lax.dot_general(xi, w_int.T, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
 
     def run_unit(spec: UnitSpec, v):
         d = dparams[spec.name]
@@ -239,37 +323,49 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
         vkind, t, vsite = v
         if kind_plan == "int8":
             delta, zp, n_bits = act_steps[feed_site]
-            if vkind == "codes":
-                xi = t
+            xi = t if vkind == "codes" \
+                else _quant_centered(t, delta, zp, n_bits)
+            acc = _int_acc(spec, xi, d.w_int)
+            out = acc.astype(jnp.float32) * (d.scale * delta) + d.bias
+        elif kind_plan == "int8_pair":
+            # 8-bit unsigned codes (zp==0): q = 16*hi + lo, both nibbles in
+            # [0,16) -> two exact int8 convs
+            delta, zp, n_bits = act_steps[feed_site]
+            if vkind == "biased":
+                q = t.astype(jnp.int32) + 128
             else:
-                xi = _quant_centered(t, delta, zp, n_bits)
-            if spec.kind == "conv":
-                acc = _int_conv(xi, d.w_int, spec.stride, spec.padding,
-                                spec.groups)
-            else:
-                acc = jax.lax.dot_general(
-                    xi, d.w_int.T, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+                q = jnp.clip(jnp.round(to_float(v) / delta), 0,
+                             255).astype(jnp.int32)
+            hi = (q >> 4).astype(jnp.int8)
+            lo = (q & 15).astype(jnp.int8)
+            acc = 16 * _int_acc(spec, hi, d.w_int) + _int_acc(spec, lo,
+                                                              d.w_int)
             out = acc.astype(jnp.float32) * (d.scale * delta) + d.bias
         else:
             xf = to_float(v)
-            if d.w_bf16 is not None:
-                w_eff, sc = d.w_bf16, d.scale
-            else:
-                w_eff = d.w_int.astype(jnp.float32) * d.scale.reshape(
-                    (-1,) + (1,) * (d.w_int.ndim - 1))
-                sc = None
-            if spec.kind == "conv":
-                # HIGHEST: TPU default f32 convs run reduced-precision bf16
-                # passes whose drift flips 4-bit act codes downstream
+            # weights are integer codes (int8 or f32): exactly
+            # bf16-representable, so Precision.HIGH (3-pass) only splits
+            # the activation — near-f32 accuracy at half the HIGHEST cost;
+            # delta applied in the epilogue
+            w_eff = (d.w_int if d.w_int is not None else d.w_fp
+                     ).astype(jnp.float32)
+            sc = d.scale
+            prec = jax.lax.Precision.HIGH
+            if kind_plan == "float_s2d":
+                xs = space_to_depth(xf)
+                ws = s2d_kernel(w_eff)
+                out = jax.lax.conv_general_dilated(
+                    xs, jnp.transpose(ws, (2, 3, 1, 0)),
+                    window_strides=(1, 1), padding=((2, 1), (2, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=xs.dtype,
+                    precision=prec).astype(jnp.float32)
+            elif spec.kind == "conv":
                 out = conv2d(xf, w_eff, None, spec.stride, spec.padding,
-                             spec.groups,
-                             precision=jax.lax.Precision.HIGHEST
-                             ).astype(jnp.float32)
+                             spec.groups, precision=prec).astype(jnp.float32)
             else:
-                out = jnp.matmul(
-                    xf, w_eff.T,
-                    precision=jax.lax.Precision.HIGHEST).astype(jnp.float32)
+                out = jnp.matmul(xf, w_eff.T,
+                                 precision=prec).astype(jnp.float32)
             if sc is not None:
                 out = out * sc
             out = out + d.bias
@@ -281,7 +377,7 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             kind, t, site = v
             if node.op == "maxpool":
                 # monotonic: pool codes directly (int8) or floats
-                if kind == "codes":
+                if kind in ("codes", "biased"):
                     pads = ((0, 0), (node.padding[0], node.padding[0]),
                             (node.padding[1], node.padding[1]), (0, 0))
                     t = jax.lax.reduce_window(

@@ -56,3 +56,28 @@ class TestDeployMatchesSim:
         dep = deploy.deploy_forward(graph, dparams, steps, x)
         rel = float(jnp.abs(sim - dep).mean() / (jnp.abs(sim).mean() + 1e-9))
         assert rel < 0.02, rel
+
+
+class TestS2dStem:
+    def test_s2d_equals_direct_conv(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        w = jnp.asarray(rng.integers(-100, 100, (16, 3, 7, 7))
+                        .astype(np.float32))
+        from shiftedscalequantization_tpu.graph import conv2d
+        direct = conv2d(x, w, None, (2, 2), (3, 3), 1)
+        xs = deploy.space_to_depth(x)
+        ws = deploy.s2d_kernel(w)
+        s2d = jax.lax.conv_general_dilated(
+            xs, jnp.transpose(ws, (2, 3, 1, 0)), (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct),
+                                   rtol=1e-5, atol=1e-3)
+
+    def test_s2d_off_by_default(self):
+        graph, params, qstate, x, flags = build(2, 4)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        plan = deploy.make_deploy_plan(graph, dparams, steps)
+        kinds = {v[0] for k, v in plan.items() if not k.startswith("__")}
+        assert "float_s2d" not in kinds
