@@ -65,10 +65,25 @@ def main(argv=None):
     log = RunLog(args.log_path or f"{args.run_device.replace(':', '_')}.log")
     timer = Timer()
 
-    train_loader, test_loader = build_data(args)
-    cali_data = get_train_samples(train_loader, args.num_samples)
-    graph, raw, cfg = build_everything(args)
-    params, qstate = prepare_model(graph, raw, cfg)
+    # Setup (model init, BN fold, scale init) is eager op-by-op work; on an
+    # accelerator platform each eager dispatch pays a device round trip, so
+    # run setup on the host CPU backend and move the results over. The
+    # jitted recon/eval loops then run on the accelerator.
+    import contextlib
+    accel = jax.devices()[0]
+    cpus = jax.local_devices(backend="cpu")
+    split = accel.platform != "cpu" and bool(cpus)
+    setup_ctx = jax.default_device(cpus[0]) if split \
+        else contextlib.nullcontext()
+
+    with setup_ctx:
+        train_loader, test_loader = build_data(args)
+        cali_data = get_train_samples(train_loader, args.num_samples)
+        graph, raw, cfg = build_everything(args)
+        params, qstate = prepare_model(graph, raw, cfg)
+    if split:
+        params, qstate, cali_data = jax.device_put(
+            (params, qstate, cali_data), accel)
 
     wflags = Flags(output_affine=args.bias_cal).all_weights(graph)
     if args.test_before_calibration and not args.skip_test:
@@ -112,7 +127,8 @@ def main(argv=None):
 
     if args.mode == "mse":
         qstate = run_mse_pipeline(graph, params, qstate, args)
-        acc = validate_model(graph, params, qstate, test_loader, wflags)
+        acc = _final_validate(graph, params, qstate, test_loader, wflags,
+                              args)
         print(f"accuracy of qnn_mse: {acc}")
         log.append(f"mse,{args.arch},W{args.n_bits_w}A{args.n_bits_a}", acc)
         return acc
@@ -124,7 +140,7 @@ def main(argv=None):
         lmda_r=0.01, lmda_s=args.lmda,
         shift_targets=shift_targets if args.bias_ch_quant else (1.0,),
         opt_beta=args.opt_beta, opt_output_affine=args.bias_cal,
-        rec_loss=args.opt_mode)
+        rec_loss=args.opt_mode, auto_candidates=args.auto_candidates)
 
     targets = reconstruction_targets(graph)
     done: list = []
@@ -175,7 +191,7 @@ def main(argv=None):
             base_flags=prefix, act_phase=True)
 
     aflags = act_flags(graph, cfg, base=wflags) if args.act_quant else wflags
-    final = validate_model(graph, params, qstate, test_loader, aflags)
+    final = _final_validate(graph, params, qstate, test_loader, aflags, args)
     print(f"Final W{args.n_bits_w}A{args.n_bits_a} accuracy: {final} "
           f"({timer.lap():.1f}s total)")
     log.append(
@@ -184,6 +200,23 @@ def main(argv=None):
         {"accs": accs, "final": final})
     ckpt.save_qstate(recon_ckpt, qstate, done=done)
     return final
+
+
+def _final_validate(graph, params, qstate, test_loader, flags, args):
+    """Final accuracy, with optional golden-logit regression (the
+    reference's validate_with_loss against ./output_loss/result_{b}bit.pt,
+    common.py:224-293)."""
+    if args.golden_dir:
+        acc, logits = validate_model(graph, params, qstate, test_loader,
+                                     flags, return_logits=True)
+        from .utils.eval import golden_logit_mse
+        mse = golden_logit_mse(
+            logits, f"{args.golden_dir}/result_{args.n_bits_w}bit.npz",
+            save_if_missing=True)
+        print(f"golden-logit MSE: {mse}" if mse is not None
+              else "golden logits saved")
+        return acc
+    return validate_model(graph, params, qstate, test_loader, flags)
 
 
 def run_mse_pipeline(graph, params, qstate, args):

@@ -24,6 +24,7 @@ input-channel group R); for linear layers it is per (OC, IC) pair.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -97,6 +98,7 @@ class AdaRoundWQ:
         return (x_q - zp) * delta
 
 
+@jax.jit
 def init_adaround(qp: QParams, w: jax.Array) -> AdaRoundWQ:
     """alpha init s.t. sigmoid(alpha) = frac(w/delta) (adaptive_rounding.py:66-74)."""
     delta = _bshape(qp.delta, w)
@@ -222,6 +224,7 @@ def init_alpha_from_mse(w, x_q, n_targets: int, clip: float = 0.33):
     return Q.inverse_rectified_softmax(p, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("shift_targets", "clip"))
 def init_shifted_scale(qp: QParams, w: jax.Array,
                        shift_targets: Tuple[float, ...],
                        clip: Optional[float] = None) -> ShiftedScaleWQ:
@@ -243,6 +246,7 @@ def init_shifted_scale(qp: QParams, w: jax.Array,
     return dataclasses.replace(wq, beta=beta)
 
 
+@functools.partial(jax.jit, static_argnames=("shift_targets", "clip"))
 def init_shifted_scale_twophase(qp: QParams, w: jax.Array,
                                 shift_targets: Tuple[float, ...],
                                 clip: Optional[float] = None) -> ShiftedScaleWQ:

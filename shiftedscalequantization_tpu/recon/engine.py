@@ -71,6 +71,10 @@ class ReconSettings:
     # layer_recon.py:142-150): 'mse' | 'fisher_diag' | 'fisher_full';
     # fisher modes need cached_grads passed to reconstruct_node
     rec_loss: str = "mse"
+    # data-driven shift-candidate search per unit (the reference's
+    # init_shift_candidates rank voting, channelQuant.py:239-277 — latent
+    # there, a real switch here): overrides shift_targets when True
+    auto_candidates: bool = False
 
 
 def lp_loss_cl(pred, tgt, p):
@@ -110,7 +114,9 @@ def _init_quantizers(params, qstate, unit_names, s: ReconSettings):
         qp = uq.wq.qp
         t = {}
         if s.mode == "fused":
-            wq = W.init_shifted_scale(qp, w, s.shift_targets)
+            targets = W.rank_shift_candidates(qp, w) if s.auto_candidates \
+                else s.shift_targets
+            wq = W.init_shifted_scale(qp, w, targets)
             t["alpha"] = wq.alpha
             if s.opt_beta:
                 t["beta"] = wq.beta

@@ -93,6 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--opt_mode", default="mse", type=str,
                    choices=["mse", "fisher_diag", "fisher_full"],
                    help="reconstruction loss form (BRECQ opt_mode)")
+    p.add_argument("--auto_candidates", default=False, type=_boolish,
+                   help="per-unit data-driven shift candidate search "
+                        "(rank voting over {1/8..15/8})")
+    p.add_argument("--golden_dir", default=None, type=str,
+                   help="golden-logit regression dir (validate_with_loss "
+                        "role): saves result_{W}bit.npz on first run, "
+                        "reports logits MSE after")
     return p
 
 
