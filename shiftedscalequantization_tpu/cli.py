@@ -179,16 +179,24 @@ def main(argv=None):
     qstate, history, prefix = reconstruct_model(
         graph, params, qstate, pending, cali_data, settings,
         jax.random.PRNGKey(args.seed), batch_size=args.batch_size,
-        base_flags=base, on_node_done=on_done)
+        base_flags=base, on_node_done=on_done,
+        # one compiled capture graph for all prefixes — compiles dominate
+        # calibration wall-clock on remote accelerators
+        single_graph_capture=split)
 
-    # act phase (BRECQ main_imagenet.py:233-244): learn act deltas
-    if args.act_quant and args.mode == "brecq" and args.iters_a > 0:
+    # activation phase: 'delta' = BRECQ act-scale learning
+    # (main_imagenet.py:233-244), 'shift' = activation shifted-scale
+    # selection (channelShift_wLoss_feature, ShiftedScaleQuant.py:288-353)
+    act_mode = args.act_mode
+    if act_mode == "auto":
+        act_mode = "delta" if args.mode == "brecq" else "none"
+    if args.act_quant and act_mode != "none" and args.iters_a > 0:
         act_settings = dataclasses.replace(settings, iters=args.iters_a,
                                            act_lr=args.lr)
         qstate, _, _ = reconstruct_model(
             graph, params, qstate, targets, cali_data, act_settings,
             jax.random.PRNGKey(args.seed + 1), batch_size=args.batch_size,
-            base_flags=prefix, act_phase=True)
+            base_flags=prefix, act_phase=act_mode)
 
     aflags = act_flags(graph, cfg, base=wflags) if args.act_quant else wflags
     final = _final_validate(graph, params, qstate, test_loader, aflags, args)

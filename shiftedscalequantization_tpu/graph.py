@@ -230,9 +230,11 @@ def global_avg_pool(x):
 class _Ctx:
     """Mutable trace-time context for one interpreter pass."""
     __slots__ = ("flags", "mode", "act_bits", "act_sym", "act_method",
-                 "new_aq", "capture", "cap_in", "cap_out", "done")
+                 "new_aq", "capture", "cap_in", "cap_out", "done",
+                 "dyn_wq", "multi", "multi_out")
 
-    def __init__(self, flags, mode, act_bits, act_sym, act_method, capture):
+    def __init__(self, flags, mode, act_bits, act_sym, act_method, capture,
+                 dyn_wq=None, multi=None):
         self.flags = flags
         self.mode = mode                  # 'run' | 'init_act'
         self.act_bits = act_bits          # dict name -> n_bits (init_act mode)
@@ -243,6 +245,14 @@ class _Ctx:
         self.cap_in = None
         self.cap_out = None
         self.done = False
+        # dynamic per-unit weight-quant gates (name -> bool scalar tracer):
+        # lets ONE compiled graph serve every quantized-prefix combination
+        # (the per-layer asym capture would otherwise compile a fresh graph
+        # per prefix — ~2N remote compiles per model)
+        self.dyn_wq = dyn_wq or {}
+        # multi-capture: set of node names whose (input, output) to record
+        self.multi = multi
+        self.multi_out = {}
 
 
 def _apply_act_quant(name: str, x, aq: Optional[QParams], ctx: _Ctx):
@@ -268,7 +278,12 @@ def _unit_forward(spec: UnitSpec, p, uq: UnitQuant, x, ctx: _Ctx):
         aq_on = spec.name in ctx.act_bits and not spec.disable_act_quant
 
     w, b = p["w"], p.get("b")
-    if wq_on:
+    if spec.name in ctx.dyn_wq:
+        # dynamic gate: compute both and select (fake-quant is cheap vs
+        # the conv; keeps the graph prefix-independent)
+        w = jnp.where(ctx.dyn_wq[spec.name],
+                      wquant.apply_weight_quant(uq.wq, w), w)
+    elif wq_on:
         w = wquant.apply_weight_quant(uq.wq, w)
     if spec.kind == "conv":
         out = conv2d(x, w, b, spec.stride, spec.padding, spec.groups)
@@ -287,12 +302,16 @@ def _unit_forward(spec: UnitSpec, p, uq: UnitQuant, x, ctx: _Ctx):
 def _maybe_capture_pre(name, x, ctx: _Ctx):
     if ctx.capture == name:
         ctx.cap_in = x
+    if ctx.multi is not None and name in ctx.multi:
+        ctx.multi_out.setdefault(name, [None, None])[0] = x
 
 
 def _maybe_capture_post(name, out, ctx: _Ctx):
     if ctx.capture == name:
         ctx.cap_out = out
         ctx.done = True
+    if ctx.multi is not None and name in ctx.multi:
+        ctx.multi_out.setdefault(name, [None, None])[1] = out
 
 
 def _node_forward(node: Node, params, qstate, x, ctx: _Ctx):
@@ -353,6 +372,28 @@ def forward(graph: Graph, params, qstate, x, flags: Flags = Flags(),
     if capture is not None:
         raise KeyError(f"capture target {capture!r} not found in graph")
     return out
+
+
+def forward_multi_capture(graph: Graph, params, qstate, x, dyn_wq: dict,
+                          targets, flags: Flags = Flags()):
+    """One graph for every asym-capture need: run the full model with
+    DYNAMIC per-unit weight-quant gates (``dyn_wq``: unit name -> bool
+    scalar) and record (input, output) of every node in ``targets``.
+
+    Compiled once, this serves all quantized-prefix combinations of the
+    sequential reconstruction loop (prefix = gate vector) AND the all-FP
+    target capture (all gates off) — replacing ~2N per-prefix compiles.
+    Returns {name: (node_in, node_out)}.
+    """
+    ctx = _Ctx(flags, "run", None, None, None, None,
+               dyn_wq=dyn_wq, multi=frozenset(targets))
+    out = x
+    for node in graph:
+        out = _node_forward(node, params, qstate, out, ctx)
+    missing = set(targets) - set(ctx.multi_out)
+    if missing:
+        raise KeyError(f"capture targets not found: {missing}")
+    return {k: (v[0], v[1]) for k, v in ctx.multi_out.items()}
 
 
 def apply_node(node: Node, params, qstate, x, flags: Flags = Flags()):

@@ -57,6 +57,71 @@ def capture_io(graph: Graph, params, qstate, target: str, cali_data,
     return cached_inp, cached_out
 
 
+class CaptureSession:
+    """Single-compilation capture for the sequential recon pipeline.
+
+    The per-layer asym capture normally compiles a fresh forward per
+    quantized-prefix — and hardened quantizers change the qstate pytree
+    structure after every reconstructed layer, so ≈2N distinct graphs for
+    N layers (~30 remote compiles for ResNet-18 on a tunneled TPU).
+
+    This session compiles ONE graph: a plain forward whose WEIGHTS are an
+    input pytree with multi-node capture. Per layer, the quantized prefix
+    is expressed as data — each done unit's weight is replaced by its
+    materialized fake-quant tensor (w_hat = wq(w), computed eagerly once
+    per unit per layer, negligible next to the forward) — so any mix of
+    quantizer types / hardening states reuses the same executable.
+    Numerics are identical to capture_io with weight-only prefix flags.
+    """
+
+    def __init__(self, graph: Graph, params, cali_data, targets,
+                 batch_size: int = 64):
+        from ..graph import forward_multi_capture, iter_units
+        self.graph = graph
+        self.params = params
+        self.cali = cali_data
+        self.batch_size = batch_size
+        self.unit_names = [u.name for u in iter_units(graph)]
+        targets = tuple(targets)
+        dummy_qstate = {n: None for n in self.unit_names}
+
+        def run(p, xb):
+            return forward_multi_capture(graph, p, dummy_qstate, xb, {},
+                                         targets, Flags())
+
+        self._fn = jax.jit(run)
+
+    def _sub_params(self, qstate, prefix_units):
+        """params with prefix units' weights replaced by materialized
+        fake-quant tensors."""
+        from ..ops.wquant import apply_weight_quant
+        out = dict(self.params)
+        for u in prefix_units:
+            if u in out and qstate.get(u) is not None:
+                p = dict(out[u])
+                p["w"] = apply_weight_quant(qstate[u].wq, p["w"])
+                out[u] = p
+        return out
+
+    def capture(self, qstate, target: str, prefix_units, cache_dtype=None):
+        """(cached_inp under quantized prefix, cached_out all-FP)."""
+        n = self.cali.shape[0]
+        bs = self.batch_size
+        n_batches = max(n // bs, 1)
+        p_prefix = self._sub_params(qstate, frozenset(prefix_units))
+        inps, outs = [], []
+        for i in range(n_batches):
+            xb = self.cali[i * bs:(i + 1) * bs]
+            cin = self._fn(p_prefix, xb)[target][0]
+            cout = self._fn(self.params, xb)[target][1]
+            if cache_dtype is not None:
+                cin = cin.astype(cache_dtype)
+                cout = cout.astype(cache_dtype)
+            inps.append(cin)
+            outs.append(cout)
+        return jnp.concatenate(inps), jnp.concatenate(outs)
+
+
 def capture_grads(graph: Graph, params, qstate, target: str, cali_data,
                   batch_size: int = 32, act_quant: bool = False,
                   damping: float = 1.0):

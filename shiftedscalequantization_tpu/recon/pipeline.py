@@ -33,32 +33,49 @@ def reconstruct_model(graph: Graph, params, qstate,
                       base_flags: Optional[Flags] = None,
                       cache_dtype=None,
                       on_node_done: Optional[Callable] = None,
-                      act_phase: bool = False):
+                      act_phase: bool = False,
+                      single_graph_capture: bool = False):
     """Reconstruct ``targets`` in order. Returns (qstate, history).
 
     ``base_flags``: starting prefix flags (e.g. 8-bit stem kept quantized).
     ``on_node_done(name, qstate, metrics, prefix_flags)``: hook for eval /
     checkpoint / logging after each node (the reference's per-layer
     validate_model accuracy trajectory, ShiftedScaleQuant.py:274-276).
-    ``act_phase``: learn act deltas instead of weight quantizers (the BRECQ
-    act phase; weight quantizers assumed already hardened & on via
-    base_flags).
+    ``act_phase``: activation-side phase instead of weight recon — True or
+    'delta' learns act deltas (the BRECQ act phase); 'shift' runs the
+    activation shifted-scale selection (the reference's
+    channelShift_wLoss_feature driver, ShiftedScaleQuant.py:288-353).
+    Weight quantizers are assumed already hardened & on via base_flags.
     """
     prefix = base_flags if base_flags is not None else Flags()
     history = {}
+    session = None
+    if single_graph_capture and not act_phase:
+        from .capture import CaptureSession
+        session = CaptureSession(graph, params, cali_data, targets,
+                                 batch_size=batch_size)
     for name in targets:
         t0 = time.time()
         key, sub = jax.random.split(key)
-        cached_inp, cached_out = capture_io(
-            graph, params, qstate, name, cali_data,
-            inp_flags=prefix, out_flags=Flags(), batch_size=batch_size,
-            cache_dtype=cache_dtype)
+        if session is not None:
+            cached_inp, cached_out = session.capture(
+                qstate, name, prefix.weight_on, cache_dtype=cache_dtype)
+        else:
+            cached_inp, cached_out = capture_io(
+                graph, params, qstate, name, cali_data,
+                inp_flags=prefix, out_flags=Flags(), batch_size=batch_size,
+                cache_dtype=cache_dtype)
         cached_grads = None
         if not act_phase and settings.rec_loss != "mse":
             from .capture import capture_grads
             cached_grads = capture_grads(graph, params, qstate, name,
                                          cali_data, batch_size=32)
-        if act_phase:
+        if act_phase == "shift":
+            from .engine import reconstruct_act_shift
+            qstate, metrics = reconstruct_act_shift(
+                graph, params, qstate, name, cached_inp, cached_out,
+                settings, sub)
+        elif act_phase:
             qstate, metrics = reconstruct_act_delta(
                 graph, params, qstate, name, cached_inp, cached_out,
                 settings, sub)

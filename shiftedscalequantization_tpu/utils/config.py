@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--opt_mode", default="mse", type=str,
                    choices=["mse", "fisher_diag", "fisher_full"],
                    help="reconstruction loss form (BRECQ opt_mode)")
+    p.add_argument("--act_mode", default="auto", type=str,
+                   choices=["auto", "none", "delta", "shift"],
+                   help="activation phase after weight recon: 'delta' = "
+                        "BRECQ act-scale learning, 'shift' = activation "
+                        "shifted-scale selection (channelShift_wLoss_feature"
+                        "); 'auto' = delta for brecq mode, none otherwise")
     p.add_argument("--auto_candidates", default=False, type=_boolish,
                    help="per-unit data-driven shift candidate search "
                         "(rank voting over {1/8..15/8})")

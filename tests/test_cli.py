@@ -60,3 +60,8 @@ class TestCheckpointFlow:
                             "--resume", "true"])
         a3 = run(tmp_path, ["--eval_only", "true"])
         assert a1 == a2 == a3
+
+    def test_fused_with_act_shift_phase(self, tmp_path):
+        acc = run(tmp_path, ["--mode", "fused", "--iters_w", "4",
+                             "--iters_a", "4", "--act_mode", "shift"])
+        assert 0 <= acc["top1"] <= 100

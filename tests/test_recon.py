@@ -160,3 +160,53 @@ class TestPipeline:
         assert seen[1][1] >= {"model.layer1.0.conv1", "model.layer1.0.conv2",
                               "model.fc"}
         assert set(hist.keys()) == {"model.layer1.0", "model.fc"}
+
+
+class TestCaptureSession:
+    def test_matches_capture_io_across_prefixes(self, setup):
+        """The single-graph session must reproduce capture_io exactly for
+        empty and non-empty quantized prefixes, including a hardened
+        (structure-changed) quantizer in the prefix."""
+        import jax.numpy as jnp
+        from shiftedscalequantization_tpu.recon.capture import CaptureSession
+        from shiftedscalequantization_tpu.ops import wquant as W
+        graph, params, qstate, cali, _ = setup
+        targets = ["model.layer1.0", "model.fc"]
+        sess = CaptureSession(graph, params, cali, targets, batch_size=32)
+
+        # empty prefix
+        ci, co = sess.capture(qstate, "model.layer1.0", frozenset())
+        ri, ro = capture_io(graph, params, qstate, "model.layer1.0", cali,
+                            Flags(), Flags(), 32)
+        np.testing.assert_allclose(np.asarray(ci), np.asarray(ri), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(co), np.asarray(ro), atol=1e-6)
+
+        # prefix with a HARDENED shifted-scale quantizer (different pytree)
+        qs2 = dict(qstate)
+        name = "model.conv1"
+        wq = W.init_shifted_scale(qs2[name].wq.qp, params[name]["w"],
+                                  (1 - 1 / 32, 1 + 1 / 32, 1.0))
+        wq = dataclasses.replace(wq, hard_targets=True, hard_round=True)
+        qs2[name] = dataclasses.replace(qs2[name], wq=wq)
+        prefix = frozenset({name})
+        ci2, co2 = sess.capture(qs2, "model.fc", prefix)
+        ri2, ro2 = capture_io(graph, params, qs2, "model.fc", cali,
+                              Flags(weight_on=prefix), Flags(), 32)
+        np.testing.assert_allclose(np.asarray(ci2), np.asarray(ri2),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(co2), np.asarray(ro2),
+                                   atol=1e-6)
+
+    def test_pipeline_with_session_matches_without(self, setup):
+        graph, params, qstate, cali, _ = setup
+        s = ReconSettings(mode="fused", iters=20, batch_size=16,
+                          shift_targets=(1 - 1 / 32, 1 + 1 / 32, 1.0))
+        qa, ha, _ = reconstruct_model(
+            graph, params, qstate, ["model.layer1.0", "model.fc"], cali, s,
+            jax.random.PRNGKey(7), batch_size=32)
+        qb, hb, _ = reconstruct_model(
+            graph, params, qstate, ["model.layer1.0", "model.fc"], cali, s,
+            jax.random.PRNGKey(7), batch_size=32, single_graph_capture=True)
+        np.testing.assert_allclose(
+            np.asarray(qa["model.fc"].wq.alpha),
+            np.asarray(qb["model.fc"].wq.alpha), rtol=1e-4, atol=1e-5)
