@@ -44,6 +44,12 @@ class DeployUnit:
                                    # integers, bf16-representable
     scale: jax.Array               # per-OC epilogue scale (dw * alpha_out)
     bias: jax.Array                # folded bias (* alpha_out + beta_out)
+    # two-phase baked-shift units (per-(oc,ic) effective deltas): codes
+    # split into |S| IC/pair-masked groups, each with its own per-OC scale
+    # — the "per-(oc, ic-group) scale-table epilogue" of SURVEY.md §7:
+    # out = sum_s int_conv(x, w_groups[s]) * group_scales[s]
+    w_groups: Optional[jax.Array] = None      # (S, ...) int8 masked codes
+    group_scales: Optional[jax.Array] = None  # (S, OC) f32
 
 
 def _hard_weight_codes(wq, w):
@@ -55,7 +61,7 @@ def _hard_weight_codes(wq, w):
         codes = jnp.clip(jnp.round(w / delta) + zp, lo, hi)
         return codes, zp, wq.qp.delta
     if isinstance(wq, W.AdaRoundWQ):
-        delta = W._bshape(wq.qp.delta, w)
+        delta = wq._delta(w)
         zp = W._bshape(wq.qp.zero_point, w)
         x_int = jnp.floor(w / delta) + (wq.alpha >= 0).astype(w.dtype)
         if wq.signed_clamp and wq.qp.sym:
@@ -94,16 +100,45 @@ def build_deploy_params(graph: Graph, params, qstate,
         b_out = uq.beta_out if (output_affine and uq.beta_out is not None) \
             else jnp.zeros((u.out_ch,), w.dtype)
         cmax = float(jnp.max(jnp.abs(centered)))
-        if cmax <= 127:
+        baked = (isinstance(uq.wq, W.AdaRoundWQ)
+                 and uq.wq.st_index is not None)
+        if baked and cmax <= 127:
+            # grouped scale-table form: mask codes per shift candidate
+            sts = uq.wq.shift_targets
+            idx = uq.wq.st_index
+            if idx.ndim == 1 and w.ndim == 4:      # conv: per-IC
+                idx_b = idx.reshape(1, -1, 1, 1)
+            else:
+                idx_b = idx
+            groups = jnp.stack([
+                jnp.where(jnp.broadcast_to(idx_b, w.shape) == s,
+                          centered, 0).astype(jnp.int8)
+                for s in range(len(sts))])
+            gscales = jnp.stack([scale_oc * float(st) * a_out
+                                 for st in sts])
+            out[u.name] = DeployUnit(
+                w_int=centered.astype(jnp.int8), w_fp=None,
+                scale=scale_oc * a_out, bias=b * a_out + b_out,
+                w_groups=groups, group_scales=gscales)
+        elif cmax <= 127:
             out[u.name] = DeployUnit(
                 w_int=centered.astype(jnp.int8), w_fp=None,
                 scale=scale_oc * a_out, bias=b * a_out + b_out)
         else:
             # 8-bit asym head/stem: keep exact integer codes in f32 and
             # fold delta into the epilogue scale (codes are
-            # bf16-representable -> Precision.HIGH convs stay exact in w)
+            # bf16-representable -> Precision.HIGH convs stay exact in w).
+            # Baked-shift units landing here fold st into the stored codes
+            # (no longer integral for non-dyadic targets; HIGH still ~f32).
+            w_fp = centered
+            if baked:
+                sts = jnp.asarray(uq.wq.shift_targets, w.dtype)
+                idx = uq.wq.st_index
+                if idx.ndim == 1 and w.ndim == 4:
+                    idx = idx.reshape(1, -1, 1, 1)
+                w_fp = centered * jnp.broadcast_to(sts[idx], w.shape)
             out[u.name] = DeployUnit(
-                w_int=None, w_fp=centered, scale=scale_oc * a_out,
+                w_int=None, w_fp=w_fp, scale=scale_oc * a_out,
                 bias=b * a_out + b_out)
     return out
 
@@ -321,26 +356,34 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
         d = dparams[spec.name]
         kind_plan, feed_site = plan[spec.name]
         vkind, t, vsite = v
-        if kind_plan == "int8":
+        if kind_plan in ("int8", "int8_pair"):
             delta, zp, n_bits = act_steps[feed_site]
-            xi = t if vkind == "codes" \
-                else _quant_centered(t, delta, zp, n_bits)
-            acc = _int_acc(spec, xi, d.w_int)
-            out = acc.astype(jnp.float32) * (d.scale * delta) + d.bias
-        elif kind_plan == "int8_pair":
-            # 8-bit unsigned codes (zp==0): q = 16*hi + lo, both nibbles in
-            # [0,16) -> two exact int8 convs
-            delta, zp, n_bits = act_steps[feed_site]
-            if vkind == "biased":
-                q = t.astype(jnp.int32) + 128
+            if kind_plan == "int8":
+                xi = t if vkind == "codes" \
+                    else _quant_centered(t, delta, zp, n_bits)
+                acc_fn = lambda wg: _int_acc(spec, xi, wg)
             else:
-                q = jnp.clip(jnp.round(to_float(v) / delta), 0,
-                             255).astype(jnp.int32)
-            hi = (q >> 4).astype(jnp.int8)
-            lo = (q & 15).astype(jnp.int8)
-            acc = 16 * _int_acc(spec, hi, d.w_int) + _int_acc(spec, lo,
-                                                              d.w_int)
-            out = acc.astype(jnp.float32) * (d.scale * delta) + d.bias
+                # 8-bit unsigned codes (zp==0): q = 16*hi + lo, both
+                # nibbles in [0,16) -> two exact int8 convs
+                if vkind == "biased":
+                    q = t.astype(jnp.int32) + 128
+                else:
+                    q = jnp.clip(jnp.round(to_float(v) / delta), 0,
+                                 255).astype(jnp.int32)
+                hi = (q >> 4).astype(jnp.int8)
+                lo = (q & 15).astype(jnp.int8)
+                acc_fn = lambda wg: (16 * _int_acc(spec, hi, wg)
+                                     + _int_acc(spec, lo, wg))
+            if d.w_groups is not None:
+                # per-(oc, ic-group) scale-table epilogue: one int conv per
+                # shift candidate, each dequantized at its own per-OC scale
+                out = d.bias
+                for s in range(d.w_groups.shape[0]):
+                    out = out + acc_fn(d.w_groups[s]).astype(jnp.float32) \
+                        * (d.group_scales[s] * delta)
+            else:
+                out = acc_fn(d.w_int).astype(jnp.float32) \
+                    * (d.scale * delta) + d.bias
         else:
             xf = to_float(v)
             # weights are integer codes (int8 or f32): exactly

@@ -81,9 +81,26 @@ class AdaRoundWQ:
     # ChannelQuant's 'adaround' mode clamps sym-aware (channelQuant.py:72-75)
     signed_clamp: bool = dataclasses.field(metadata=dict(static=True),
                                            default=False)
+    # two-phase baked shifts (update_delta, channelQuant.py:296-298), kept
+    # factorized: effective delta = per-OC qp.delta * shift_targets[st_index]
+    # with st_index per input channel (conv) or per (oc, ic) (linear) — the
+    # factorization lets the deploy path run grouped int convs with a
+    # per-(group, OC) scale-table epilogue instead of falling back to float
+    st_index: Optional[jax.Array] = None
+    shift_targets: Tuple[float, ...] = dataclasses.field(
+        metadata=dict(static=True), default=())
+
+    def _delta(self, w):
+        delta = _bshape(self.qp.delta, w)
+        if self.st_index is not None:
+            st = jnp.asarray(self.shift_targets, w.dtype)[self.st_index]
+            if self.st_index.ndim == 1 and w.ndim == 4:
+                st = st.reshape(1, -1, 1, 1)
+            delta = delta * st
+        return delta
 
     def __call__(self, w):
-        delta = _bshape(self.qp.delta, w)
+        delta = self._delta(w)
         zp = _bshape(self.qp.zero_point, w)
         x_floor = jnp.floor(w / delta)
         if self.soft:
@@ -269,15 +286,21 @@ def init_shifted_scale_twophase(qp: QParams, w: jax.Array,
 
 
 def bake_shift_to_adaround(wq: ShiftedScaleWQ, w: jax.Array) -> AdaRoundWQ:
-    """Two-phase transition: bake chosen shifts into a per-(oc,ic) delta
+    """Two-phase transition: bake chosen shifts into the effective delta
     (reference update_delta, channelQuant.py:296-298) then init AdaRound
-    beta on it (init_beta, channelQuant.py:300-307; sym-aware clamp)."""
-    delta_eff = wq.effective_delta(w)
-    qp = dataclasses.replace(wq.qp, delta=delta_eff)
+    beta on it (init_beta, channelQuant.py:300-307; sym-aware clamp).
+    The shift selection is kept factorized (st_index + shift_targets)
+    rather than materialized into a full-rank delta, so deploy can emit
+    grouped int convs."""
+    st_index = jnp.argmax(wq.soft_targets(), axis=-1)
+    out = AdaRoundWQ(qp=wq.qp, alpha=jnp.zeros_like(w), soft=True,
+                     signed_clamp=True, st_index=st_index,
+                     shift_targets=tuple(wq.shift_targets))
+    delta_eff = out._delta(w)
     x_floor = jnp.floor(w / delta_eff)
     rest = w / delta_eff - x_floor
     beta = Q.inverse_rectified_sigmoid(rest)
-    return AdaRoundWQ(qp=qp, alpha=beta, soft=True, signed_clamp=True)
+    return dataclasses.replace(out, alpha=beta)
 
 
 def rank_shift_candidates(qp: QParams, w: jax.Array, num_of_candi: int = 3):

@@ -81,3 +81,41 @@ class TestS2dStem:
         plan = deploy.make_deploy_plan(graph, dparams, steps)
         kinds = {v[0] for k, v in plan.items() if not k.startswith("__")}
         assert "float_s2d" not in kinds
+
+
+class TestTwoPhaseDeploy:
+    def test_baked_shift_grouped_int_deploy_matches_sim(self):
+        """two-phase (shift -> bake -> adaround) hardened state deploys via
+        the grouped scale-table epilogue and matches sim mode."""
+        import dataclasses
+        import jax.numpy as jnp
+        from shiftedscalequantization_tpu.graph import Flags
+        from shiftedscalequantization_tpu.recon import ReconSettings, \
+            capture_io, reconstruct_node
+        graph, params, qstate, x, flags = build(4, 4)
+        cali = jax.random.normal(jax.random.PRNGKey(5), (64, 32, 32, 3))
+        for name in ["model.layer1.0", "model.fc"]:
+            cin, cout = capture_io(graph, params, qstate, name, cali,
+                                   Flags(), Flags(), 32)
+            qstate, _ = reconstruct_node(
+                graph, params, qstate, name, cin, cout,
+                ReconSettings(mode="shift", iters=10, batch_size=16,
+                              shift_targets=(0.5, 1.0), lmda_s=0.01),
+                jax.random.PRNGKey(6))
+            qstate, _ = reconstruct_node(
+                graph, params, qstate, name, cin, cout,
+                ReconSettings(mode="round", iters=10, batch_size=16),
+                jax.random.PRNGKey(7))
+        sim = ssq.forward(graph, params, qstate, x, flags)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        # grouped form present on a conv unit
+        assert dparams["model.layer1.0.conv1"].w_groups is not None
+        assert dparams["model.layer1.0.conv1"].w_groups.shape[0] == 2
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        dep = deploy.deploy_forward(graph, dparams, steps, x)
+        # weights are bit-exact (verified parity); residual deviation is
+        # f32 summation-order epsilon flipping 4-bit act codes at rounding
+        # boundaries
+        rel = float(jnp.abs(sim - dep).mean() / (jnp.abs(sim).mean() + 1e-9))
+        assert rel < 0.06, rel
+        assert (jnp.argmax(sim, -1) == jnp.argmax(dep, -1)).mean() >= 0.95

@@ -140,8 +140,13 @@ class TestTwoPhase:
                                    cin, cout, s2, jax.random.PRNGKey(6))
         wq2 = qs3[name].wq
         assert isinstance(wq2, W.AdaRoundWQ) and not wq2.soft
-        # per-(oc,ic) effective delta was baked in
-        assert wq2.qp.delta.shape == params[name]["w"].shape
+        # baked shifts kept factorized: per-pair st_index over candidates
+        assert wq2.st_index is not None
+        assert wq2.st_index.shape == params[name]["w"].shape  # linear (OC,IC)
+        assert wq2.shift_targets == (0.5, 1.0)
+        # effective delta is per-pair
+        d_eff = wq2._delta(params[name]["w"])
+        assert d_eff.shape == params[name]["w"].shape
 
 
 class TestPipeline:
