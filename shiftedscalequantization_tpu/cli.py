@@ -42,7 +42,7 @@ def build_everything(args):
     raw = resnet_m.init_params(jax.random.PRNGKey(args.seed), graph)
     cfg = QuantConfig(
         n_bits_w=args.n_bits_w, n_bits_a=args.n_bits_a,
-        channel_wise=args.channel_wise, sym=False,
+        channel_wise=args.channel_wise, sym=args.sym,
         w_scale_method=args.w_scale_method,
         a_scale_method=args.a_scale_method,
         use_8bit_head_stem=not args.disable_8bit_head_stem)
@@ -123,7 +123,10 @@ def main(argv=None):
         print(f"accuracy of qnn (with cal.): {acc}")
 
     shift_targets = parse_shift_targets(args.shift_targets)
-    mode_map = {"fused": "fused", "brecq": "brecq", "two_phase": "shift"}
+    # 'two_phase' is handled inside the pipeline (per-layer shift phase
+    # then round phase on the same cache)
+    mode_map = {"fused": "fused", "brecq": "brecq",
+                "two_phase": "two_phase"}
 
     if args.mode == "mse":
         qstate = run_mse_pipeline(graph, params, qstate, args)
@@ -140,7 +143,8 @@ def main(argv=None):
         lmda_r=0.01, lmda_s=args.lmda,
         shift_targets=shift_targets if args.bias_ch_quant else (1.0,),
         opt_beta=args.opt_beta, opt_output_affine=args.bias_cal,
-        rec_loss=args.opt_mode, auto_candidates=args.auto_candidates)
+        rec_loss=args.opt_mode, auto_candidates=args.auto_candidates,
+        act_p=args.p)
 
     targets = reconstruction_targets(graph)
     done: list = []

@@ -145,15 +145,24 @@ def build_deploy_params(graph: Graph, params, qstate,
 
 def act_steps_from_qstate(graph: Graph, qstate) -> dict:
     """site name -> (delta, zero_point, n_bits) for every calibrated act
-    quantizer (unit sites and block sites)."""
+    quantizer (unit sites and block sites). ActShiftQuant sites fold their
+    hardened per-channel scale selection into a per-channel delta (the
+    producer-side requant-step folding promised in ops/act_quant.py)."""
     from .graph import UnitQuant
+    from .ops.act_quant import ActShiftQuant
+
+    def step_of(aq):
+        if isinstance(aq, ActShiftQuant):
+            return (aq.effective_delta(), aq.qp.zero_point, aq.qp.n_bits)
+        return (aq.delta, aq.zero_point, aq.n_bits)
+
     steps = {}
     for name, v in qstate.items():
         if isinstance(v, UnitQuant):
             if v.aq is not None:
-                steps[name] = (v.aq.delta, v.aq.zero_point, v.aq.n_bits)
-        elif v is not None:  # block-level QParams
-            steps[name] = (v.delta, v.zero_point, v.n_bits)
+                steps[name] = step_of(v.aq)
+        elif v is not None:  # block-level quantizer
+            steps[name] = step_of(v)
     return steps
 
 

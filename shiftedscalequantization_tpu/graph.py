@@ -231,10 +231,10 @@ class _Ctx:
     """Mutable trace-time context for one interpreter pass."""
     __slots__ = ("flags", "mode", "act_bits", "act_sym", "act_method",
                  "new_aq", "capture", "cap_in", "cap_out", "done",
-                 "dyn_wq", "multi", "multi_out")
+                 "dyn_wq", "multi", "multi_out", "inject")
 
     def __init__(self, flags, mode, act_bits, act_sym, act_method, capture,
-                 dyn_wq=None, multi=None):
+                 dyn_wq=None, multi=None, inject=None):
         self.flags = flags
         self.mode = mode                  # 'run' | 'init_act'
         self.act_bits = act_bits          # dict name -> n_bits (init_act mode)
@@ -253,6 +253,10 @@ class _Ctx:
         # multi-capture: set of node names whose (input, output) to record
         self.multi = multi
         self.multi_out = {}
+        # output injection: (name, tensor) — replace that node's output,
+        # making downstream a pure function of the injected value (for
+        # gradients at intermediates; replaces backward hooks)
+        self.inject = inject
 
 
 def _apply_act_quant(name: str, x, aq: Optional[QParams], ctx: _Ctx):
@@ -312,6 +316,9 @@ def _maybe_capture_post(name, out, ctx: _Ctx):
         ctx.done = True
     if ctx.multi is not None and name in ctx.multi:
         ctx.multi_out.setdefault(name, [None, None])[1] = out
+    if ctx.inject is not None and ctx.inject[0] == name:
+        return ctx.inject[1]
+    return out
 
 
 def _node_forward(node: Node, params, qstate, x, ctx: _Ctx):
@@ -327,7 +334,7 @@ def _node_forward(node: Node, params, qstate, x, ctx: _Ctx):
     if isinstance(node, UnitSpec):
         _maybe_capture_pre(node.name, x, ctx)
         out = _unit_forward(node, params[node.name], qstate[node.name], x, ctx)
-        _maybe_capture_post(node.name, out, ctx)
+        out = _maybe_capture_post(node.name, out, ctx)
         return out
 
     # BlockSpec — mirror of reference quant_block.py:99-117 forward
@@ -337,12 +344,12 @@ def _node_forward(node: Node, params, qstate, x, ctx: _Ctx):
         _maybe_capture_pre(node.downsample.name, x, ctx)
         residual = _unit_forward(node.downsample, params[node.downsample.name],
                                  qstate[node.downsample.name], x, ctx)
-        _maybe_capture_post(node.downsample.name, residual, ctx)
+        residual = _maybe_capture_post(node.downsample.name, residual, ctx)
     out = x
     for u in node.units:
         _maybe_capture_pre(u.name, out, ctx)
         out = _unit_forward(u, params[u.name], qstate[u.name], out, ctx)
-        _maybe_capture_post(u.name, out, ctx)
+        out = _maybe_capture_post(u.name, out, ctx)
         if ctx.done:
             return out
     if node.residual:
@@ -353,7 +360,7 @@ def _node_forward(node: Node, params, qstate, x, ctx: _Ctx):
         aq_on = node.name in ctx.act_bits and node.block_act_quant
     if aq_on:
         out = _apply_act_quant(node.name, out, qstate.get(node.name), ctx)
-    _maybe_capture_post(node.name, out, ctx)
+    out = _maybe_capture_post(node.name, out, ctx)
     return out
 
 
@@ -404,12 +411,23 @@ def apply_node(node: Node, params, qstate, x, flags: Flags = Flags()):
     return _node_forward(node, params, qstate, x, ctx)
 
 
+def apply_node_multi_capture(node: Node, params, qstate, x, flags: Flags,
+                             targets):
+    """Forward a single node recording (input, output) of the named inner
+    sites (units and/or the node itself). Returns (out, {name: (in, out)})."""
+    ctx = _Ctx(flags, "run", None, None, None, None,
+               multi=frozenset(targets))
+    out = _node_forward(node, params, qstate, x, ctx)
+    return out, {k: (v[0], v[1]) for k, v in ctx.multi_out.items()}
+
+
 def forward_from(graph: Graph, params, qstate, after: str, t,
                  flags: Flags = Flags()):
     """Resume the forward from the output of top-level node ``after`` —
     used to differentiate the network output w.r.t. an intermediate
     activation (the reference reads this gradient via a backward hook,
-    data_utils.py:155-192)."""
+    data_utils.py:155-192). For targets nested inside blocks use
+    forward_inject instead."""
     ctx = _Ctx(flags, "run", None, None, None, None)
     seen = False
     out = t
@@ -424,29 +442,53 @@ def forward_from(graph: Graph, params, qstate, after: str, t,
     return out
 
 
+def forward_inject(graph: Graph, params, qstate, x, target: str, t,
+                   flags: Flags = Flags()):
+    """Full forward with ``target``'s output REPLACED by ``t`` — downstream
+    is then a pure function of ``t``, so jax.grad of a loss on the result
+    w.r.t. ``t`` is the gradient at that intermediate activation (works for
+    units nested inside blocks, where resuming from the output alone is
+    impossible because the residual path needs the block input)."""
+    ctx = _Ctx(flags, "run", None, None, None, None, inject=(target, t))
+    out = x
+    for node in graph:
+        out = _node_forward(node, params, qstate, out, ctx)
+    return out
+
+
 def prefix_flags_till(graph: Graph, target: str, act_quant: bool = False,
                       base: Flags = Flags()) -> Flags:
     """Weight (and optionally act) quant enabled for every unit up to AND
     INCLUDING ``target`` (the reference's quantize_model_till,
-    data_utils.py:195-206)."""
+    data_utils.py:195-206) — in module-registration order, so a per-unit
+    target inside a block quantizes only the block units preceding it."""
     w_on, a_on = set(base.weight_on), set(base.act_on)
-    for node in graph:
-        names = []
-        if isinstance(node, UnitSpec):
-            names = [node.name]
-        elif isinstance(node, BlockSpec):
-            names = [u.name for u in node.units]
-            if node.downsample is not None:
-                names.append(node.downsample.name)
-            names.append(node.name)  # block act site
-        w_on.update(n for n in names if n != node.name or
-                    isinstance(node, UnitSpec))
+
+    def add_unit(u: UnitSpec):
+        w_on.add(u.name)
         if act_quant:
-            a_on.update(names)
-        hit = node.name == target or any(
-            n == target for n in names)
-        if hit:
-            break
+            a_on.add(u.name)
+
+    for node in graph:
+        if isinstance(node, OpSpec):
+            continue
+        if isinstance(node, UnitSpec):
+            add_unit(node)
+            if node.name == target:
+                return dataclasses.replace(base, weight_on=frozenset(w_on),
+                                           act_on=frozenset(a_on))
+            continue
+        for u in list(node.units) + ([node.downsample]
+                                     if node.downsample else []):
+            add_unit(u)
+            if u.name == target:
+                return dataclasses.replace(base, weight_on=frozenset(w_on),
+                                           act_on=frozenset(a_on))
+        if act_quant:
+            a_on.add(node.name)   # block act site
+        if node.name == target:
+            return dataclasses.replace(base, weight_on=frozenset(w_on),
+                                       act_on=frozenset(a_on))
     return dataclasses.replace(base, weight_on=frozenset(w_on),
                                act_on=frozenset(a_on))
 

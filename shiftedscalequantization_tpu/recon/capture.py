@@ -75,14 +75,17 @@ class CaptureSession:
     """
 
     def __init__(self, graph: Graph, params, cali_data, targets,
-                 batch_size: int = 64):
+                 batch_size: int = 64, output_affine: bool = False,
+                 fp_cache_limit_bytes: int = 4 << 30):
         from ..graph import forward_multi_capture, iter_units
         self.graph = graph
         self.params = params
         self.cali = cali_data
         self.batch_size = batch_size
+        self.output_affine = output_affine
         self.unit_names = [u.name for u in iter_units(graph)]
         targets = tuple(targets)
+        self.targets = targets
         dummy_qstate = {n: None for n in self.unit_names}
 
         def run(p, xb):
@@ -90,18 +93,52 @@ class CaptureSession:
                                          targets, Flags())
 
         self._fn = jax.jit(run)
+        # FP target outputs are prefix-independent: cache them from ONE
+        # pass over the calibration set instead of re-running the FP
+        # forward for every layer — unless the cache would be too big
+        self._fp_outs = None
+        self._fp_cache_limit = fp_cache_limit_bytes
 
     def _sub_params(self, qstate, prefix_units):
         """params with prefix units' weights replaced by materialized
-        fake-quant tensors."""
+        fake-quant tensors; the gamma^z/phi^z output affine of prefix
+        units (when enabled) folds into weights and bias:
+        conv(x, w)*a + b*a + beta == (conv(x, w*a) + b') with b' = b*a+beta."""
         from ..ops.wquant import apply_weight_quant
         out = dict(self.params)
         for u in prefix_units:
             if u in out and qstate.get(u) is not None:
+                uq = qstate[u]
                 p = dict(out[u])
-                p["w"] = apply_weight_quant(qstate[u].wq, p["w"])
+                w_hat = apply_weight_quant(uq.wq, p["w"])
+                if self.output_affine and uq.alpha_out is not None:
+                    a = uq.alpha_out.reshape((-1,) + (1,) * (w_hat.ndim - 1))
+                    w_hat = w_hat * a
+                    b = p.get("b")
+                    b = 0.0 if b is None else b
+                    p["b"] = b * uq.alpha_out + uq.beta_out
+                p["w"] = w_hat
                 out[u] = p
         return out
+
+    def _ensure_fp_cache(self):
+        if self._fp_outs is not None:
+            return self._fp_outs is not False
+        n = self.cali.shape[0]
+        bs = self.batch_size
+        n_batches = max(n // bs, 1)
+        probe = self._fn(self.params, self.cali[:1])
+        total = sum(v[1].size for v in probe.values()) * n * 4  # f32 bytes
+        if total > self._fp_cache_limit:
+            self._fp_outs = False
+            return False
+        outs = {t: [] for t in self.targets}
+        for i in range(n_batches):
+            res = self._fn(self.params, self.cali[i * bs:(i + 1) * bs])
+            for t in self.targets:
+                outs[t].append(res[t][1])  # keep f32: exact capture_io parity
+        self._fp_outs = {t: jnp.concatenate(v) for t, v in outs.items()}
+        return True
 
     def capture(self, qstate, target: str, prefix_units, cache_dtype=None):
         """(cached_inp under quantized prefix, cached_out all-FP)."""
@@ -109,17 +146,23 @@ class CaptureSession:
         bs = self.batch_size
         n_batches = max(n // bs, 1)
         p_prefix = self._sub_params(qstate, frozenset(prefix_units))
+        have_fp = self._ensure_fp_cache()
         inps, outs = [], []
         for i in range(n_batches):
             xb = self.cali[i * bs:(i + 1) * bs]
             cin = self._fn(p_prefix, xb)[target][0]
-            cout = self._fn(self.params, xb)[target][1]
             if cache_dtype is not None:
                 cin = cin.astype(cache_dtype)
-                cout = cout.astype(cache_dtype)
             inps.append(cin)
-            outs.append(cout)
-        return jnp.concatenate(inps), jnp.concatenate(outs)
+            if not have_fp:
+                cout = self._fn(self.params, xb)[target][1]
+                outs.append(cout.astype(cache_dtype)
+                            if cache_dtype is not None else cout)
+        cached_out = self._fp_outs[target] if have_fp \
+            else jnp.concatenate(outs)
+        if cache_dtype is not None:
+            cached_out = cached_out.astype(cache_dtype)
+        return jnp.concatenate(inps), cached_out
 
 
 def capture_grads(graph: Graph, params, qstate, target: str, cali_data,
@@ -131,10 +174,11 @@ def capture_grads(graph: Graph, params, qstate, target: str, cali_data,
     data_utils.py:40-71,155-192): the network is quantized up to and
     including ``target`` (quantize_model_till), the KL divergence between
     its softmax output and the FP model's is differentiated w.r.t. the
-    target node's output activation — here via jax.vjp through
-    ``forward_from`` instead of a backward hook.
+    target node's output activation — here via jax.grad through an
+    output-injected forward instead of a backward hook (works for targets
+    nested inside blocks too).
     """
-    from ..graph import Flags, forward, forward_from, prefix_flags_till
+    from ..graph import Flags, forward, forward_inject, prefix_flags_till
     qflags = prefix_flags_till(graph, target, act_quant=act_quant)
 
     @jax.jit
@@ -144,7 +188,8 @@ def capture_grads(graph: Graph, params, qstate, target: str, cali_data,
         _, t = forward(graph, params, qstate, xb, qflags, capture=target)
 
         def kl_from_t(t):
-            out_q = forward_from(graph, params, qstate, target, t, qflags)
+            out_q = forward_inject(graph, params, qstate, xb, target, t,
+                                   qflags)
             logq = jax.nn.log_softmax(out_q, axis=1)
             # F.kl_div(log_softmax(q), softmax(fp), 'batchmean')
             logp = jnp.log(jnp.clip(p_fp, 1e-12))

@@ -75,6 +75,8 @@ class ReconSettings:
     # init_shift_candidates rank voting, channelQuant.py:239-277 — latent
     # there, a real switch here): overrides shift_targets when True
     auto_candidates: bool = False
+    # L_p norm for the activation-delta phase (reference --p, default 2.4)
+    act_p: float = 2.4
 
 
 def lp_loss_cl(pred, tgt, p):
@@ -370,12 +372,11 @@ def reconstruct_act_shift(graph, params, qstate, node_name: str,
     Weight quantizers stay as-is (assumed hardened) and ON."""
     from ..ops.act_quant import ActShiftQuant, init_act_shift
 
+    from ..graph import apply_node_multi_capture
+
     node = find_node(graph, node_name)
     unit_names = node_unit_names(node)
     qstate = dict(qstate)
-
-    # run the node once on a sample to get per-site activations for init
-    sample = cached_inp[: min(64, cached_inp.shape[0])].astype(jnp.float32)
 
     sites = []
     for u in unit_names:
@@ -385,23 +386,17 @@ def reconstruct_act_shift(graph, params, qstate, node_name: str,
             and qstate[node_name] is not None:
         sites.append(node_name)
 
+    # per-site pre-quant activations for the data-driven alpha init: run the
+    # node once with weights quantized and act quant OFF — each site's
+    # captured output is then exactly the tensor its quantizer will see
+    sample = cached_inp[: min(64, cached_inp.shape[0])].astype(jnp.float32)
+    _, site_acts = apply_node_multi_capture(
+        node, params, qstate, sample,
+        Flags(weight_on=frozenset(unit_names)), sites)
+
     for site in sites:
         qp = qstate[site].aq if site in unit_names else qstate[site]
-        if sample.shape[-1] == _site_channels(graph, node, site):
-            # site sees the node-input channel count: data-driven MSE init
-            asq = init_act_shift(qp, sample, shift_targets)
-        else:
-            # mid-block site: neutral init favoring scale 1.0 (the
-            # reference's init is broken here — channelQuantAct.py:125-134;
-            # alpha is optimized immediately after, so a sane prior suffices)
-            c = _site_channels(graph, node, site)
-            n_t = len(shift_targets)
-            one_idx = shift_targets.index(1.0) if 1.0 in shift_targets else 0
-            p = jnp.full((c, n_t), 0.2 / max(n_t - 1, 1))
-            p = p.at[:, one_idx].set(0.8)
-            from ..ops.quant import inverse_rectified_softmax
-            asq = ActShiftQuant(qp=qp, alpha=inverse_rectified_softmax(p),
-                                shift_targets=tuple(shift_targets))
+        asq = init_act_shift(qp, site_acts[site][1], shift_targets)
         if site in unit_names:
             qstate[site] = dataclasses.replace(qstate[site], aq=asq)
         else:
@@ -479,9 +474,10 @@ def _site_channels(graph, node, site):
 
 def reconstruct_act_delta(graph, params, qstate, node_name: str,
                           cached_inp, cached_out, s: ReconSettings,
-                          key: jax.Array, p_norm: float = 2.4):
+                          key: jax.Array, p_norm: Optional[float] = None):
     """Learn act-quant deltas for a node by Adam + cosine LR
     (reference layer_recon.py:57-61, --iters_a/--lr/--p defaults)."""
+    p_norm = s.act_p if p_norm is None else p_norm
     node = find_node(graph, node_name)
     unit_names = node_unit_names(node)
     sites = [u for u in unit_names

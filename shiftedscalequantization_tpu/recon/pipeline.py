@@ -53,7 +53,8 @@ def reconstruct_model(graph: Graph, params, qstate,
     if single_graph_capture and not act_phase:
         from .capture import CaptureSession
         session = CaptureSession(graph, params, cali_data, targets,
-                                 batch_size=batch_size)
+                                 batch_size=batch_size,
+                                 output_affine=prefix.output_affine)
     for name in targets:
         t0 = time.time()
         key, sub = jax.random.split(key)
@@ -68,8 +69,9 @@ def reconstruct_model(graph: Graph, params, qstate,
         cached_grads = None
         if not act_phase and settings.rec_loss != "mse":
             from .capture import capture_grads
+            # same batching as capture_io so cached row counts line up
             cached_grads = capture_grads(graph, params, qstate, name,
-                                         cali_data, batch_size=32)
+                                         cali_data, batch_size=batch_size)
         if act_phase == "shift":
             from .engine import reconstruct_act_shift
             qstate, metrics = reconstruct_act_shift(
@@ -79,6 +81,22 @@ def reconstruct_model(graph: Graph, params, qstate,
             qstate, metrics = reconstruct_act_delta(
                 graph, params, qstate, name, cached_inp, cached_out,
                 settings, sub)
+        elif settings.mode == "two_phase":
+            # per-layer shift phase then round phase on the same cache
+            # (reference run_ShiftRecon: iters_for_round = 2*iters,
+            # ShiftedScaleQuant.py:63-67 commented driver / the two-phase
+            # stack of layer_recon_shiftedScale.py)
+            s1 = dataclasses.replace(settings, mode="shift")
+            qstate, m1 = reconstruct_node(
+                graph, params, qstate, name, cached_inp, cached_out,
+                s1, sub, cached_grads=cached_grads)
+            s2 = dataclasses.replace(settings, mode="round",
+                                     iters=settings.iters * 2)
+            key, sub2 = jax.random.split(key)
+            qstate, metrics = reconstruct_node(
+                graph, params, qstate, name, cached_inp, cached_out,
+                s2, sub2, cached_grads=cached_grads)
+            metrics["shift_phase"] = m1
         else:
             qstate, metrics = reconstruct_node(
                 graph, params, qstate, name, cached_inp, cached_out,

@@ -39,7 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters_w", default=20000, type=int)
     p.add_argument("--weight", default=0.01, type=float,
                    help="rounding-reg weight (BRECQ --weight)")
-    p.add_argument("--sym", default=True, type=_boolish)
+    # NOTE: the reference declares --sym default True (common.py:44) but its
+    # shifted-scale driver never forwards it to the quantizer ctor
+    # (myScaledMethods.py build_qnn), so quantizers run asymmetric; we keep
+    # the effective behavior as the default and make the flag real.
+    p.add_argument("--sym", default=False, type=_boolish)
     p.add_argument("--b_start", default=20, type=int)
     p.add_argument("--b_end", default=2, type=int)
     p.add_argument("--warmup", default=0.2, type=float)

@@ -88,3 +88,31 @@ class TestFisherRecon:
                                   s, jax.random.PRNGKey(4),
                                   cached_grads=grads)
         assert np.isfinite(np.asarray(m["rec_trace"])).all()
+
+
+class TestNestedTargetGrads:
+    def test_grad_capture_inside_block(self):
+        """Per-unit targets nested in blocks (MNASNet-style) must work via
+        the injected forward (reported crash: forward_from KeyError)."""
+        graph, params, qstate, cali = setup()
+        g = capture_grads(graph, params, qstate, "model.layer1.0.conv1",
+                          cali[:32], batch_size=32)
+        assert g.shape[0] == 32 and float(g.min()) >= 1.0
+
+    def test_inject_matches_forward(self):
+        from shiftedscalequantization_tpu.graph import forward_inject
+        graph, params, qstate, cali = setup()
+        flags = Flags().all_weights(graph)
+        name = "model.layer2.0.conv1"
+        _, t = forward(graph, params, qstate, cali[:4], flags, capture=name)
+        full = forward(graph, params, qstate, cali[:4], flags)
+        injected = forward_inject(graph, params, qstate, cali[:4], name, t,
+                                  flags)
+        np.testing.assert_allclose(np.asarray(injected), np.asarray(full),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_prefix_flags_till_nested(self):
+        graph, params, qstate, cali = setup()
+        f = prefix_flags_till(graph, "model.layer1.0.conv1")
+        assert "model.layer1.0.conv1" in f.weight_on
+        assert "model.layer1.0.conv2" not in f.weight_on
