@@ -215,3 +215,47 @@ class TestCaptureSession:
         np.testing.assert_allclose(
             np.asarray(qa["model.fc"].wq.alpha),
             np.asarray(qb["model.fc"].wq.alpha), rtol=1e-4, atol=1e-5)
+
+
+class TestOtherFamilies:
+    def test_grouped_conv_block_recon(self):
+        """RegNetX-style grouped 3x3 conv inside a block reconstructs."""
+        from shiftedscalequantization_tpu.models import regnet
+        g = regnet.build_regnetx("regnetx_200m", num_classes=10)
+        # take the first block only, on small inputs
+        raw = resnet.init_params(jax.random.PRNGKey(0), g)
+        cfg = ssq.QuantConfig(n_bits_w=2, n_bits_a=4, w_scale_method="max",
+                              use_8bit_head_stem=False)
+        params, qstate = ssq.prepare_model(g, raw, cfg)
+        cali = jax.random.normal(jax.random.PRNGKey(1), (32, 16, 16, 3))
+        name = g[1].name  # first ResBottleneckBlock
+        assert g[1].units[1].groups > 1  # grouped conv present
+        cin, cout = capture_io(g, params, qstate, name, cali,
+                               Flags(), Flags(), 16)
+        s = ReconSettings(mode="fused", iters=15, batch_size=8,
+                          shift_targets=(1 - 1 / 32, 1 + 1 / 32, 1.0),
+                          opt_beta=True)
+        qs2, m = reconstruct_node(g, params, qstate, name, cin, cout, s,
+                                  jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["hard_loss"]))
+
+    def test_depthwise_block_recon(self):
+        """MobileNetV2 inverted-residual (depthwise conv) reconstructs."""
+        from shiftedscalequantization_tpu.models import mobilenetv2
+        g = mobilenetv2.build_mobilenetv2(num_classes=10)
+        raw = resnet.init_params(jax.random.PRNGKey(0), g)
+        cfg = ssq.QuantConfig(n_bits_w=4, n_bits_a=4, w_scale_method="max",
+                              use_8bit_head_stem=False)
+        params, qstate = ssq.prepare_model(g, raw, cfg)
+        cali = jax.random.normal(jax.random.PRNGKey(1), (32, 32, 32, 3))
+        name = "model.features.1"   # expand_ratio=1: dw + pw-linear
+        cin, cout = capture_io(g, params, qstate, name, cali,
+                               Flags(), Flags(), 16)
+        s = ReconSettings(mode="fused", iters=15, batch_size=8,
+                          shift_targets=(1 - 1 / 32, 1 + 1 / 32, 1.0))
+        qs2, m = reconstruct_node(g, params, qstate, name, cin, cout, s,
+                                  jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["hard_loss"]))
+        # depthwise unit got a shifted-scale quantizer with per-IC alpha
+        dw = qs2["model.features.1.conv.0"].wq
+        assert isinstance(dw, W.ShiftedScaleWQ)
