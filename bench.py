@@ -54,12 +54,7 @@ def time_fn(fn, x, iters):
     return best / iters
 
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", 256))
-    iters = int(os.environ.get("BENCH_ITERS", 30))
-    hw = int(os.environ.get("BENCH_HW", 224))
-    arch = os.environ.get("BENCH_ARCH", "resnet18")
-
+def bench_arch(arch: str, batch: int, iters: int, hw: int):
     # All setup (init, BN fold, scale init, calibration, deploy conversion)
     # runs on the host CPU backend: eager ops on the remote TPU pay a
     # dispatch/compile round trip each, turning setup into minutes. Only the
@@ -90,21 +85,39 @@ def main():
 
     q_fn = lambda x: deploy.deploy_forward(graph, dparams, steps, x, plan)
     q_t = time_fn(q_fn, x, iters)
+    return batch / q_t, batch / fp_t, q_t, fp_t
 
-    ips = batch / q_t
-    fp_ips = batch / fp_t
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    hw = int(os.environ.get("BENCH_HW", 224))
+    arch = os.environ.get("BENCH_ARCH", "resnet18")
+    extra_archs = [a for a in os.environ.get(
+        "BENCH_EXTRA_ARCHS", "resnet50").split(",") if a]
+
+    ips, fp_ips, q_t, fp_t = bench_arch(arch, batch, iters, hw)
+    extras = {
+        "bf16_fp_images_per_sec": round(fp_ips, 1),
+        "int_path_ms_per_batch": round(q_t * 1e3, 2),
+        "bf16_ms_per_batch": round(fp_t * 1e3, 2),
+        "device": str(jax.devices()[0]),
+    }
+    for a in extra_archs:
+        try:
+            i2, f2, _, _ = bench_arch(a, batch, iters, hw)
+            extras[a] = {"int8_images_per_sec": round(i2, 1),
+                         "bf16_images_per_sec": round(f2, 1),
+                         "vs_bf16": round(i2 / f2, 3)}
+        except Exception as e:  # secondary config must not sink the bench
+            extras[a] = {"error": str(e)[:120]}
     result = {
         "metric": f"{arch} W2A4 int8-deploy images/sec/chip (batch {batch}, "
                   f"{hw}x{hw})",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / fp_ips, 3),
-        "extra": {
-            "bf16_fp_images_per_sec": round(fp_ips, 1),
-            "int_path_ms_per_batch": round(q_t * 1e3, 2),
-            "bf16_ms_per_batch": round(fp_t * 1e3, 2),
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extras,
     }
     print(json.dumps(result))
 

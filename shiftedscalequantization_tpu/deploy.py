@@ -238,6 +238,12 @@ def make_deploy_plan(graph: Graph, dparams: dict, act_steps: dict) -> dict:
                     exact, and ~3x faster than the f32-HIGHEST fallback
                     (profiling: stem-fed layer1 was the entire int8-path
                     deficit on ResNet-18)
+      'bf16_codes'— same integer codes but fed to the MXU as bf16 operands
+                    with f32 accumulation: small-int codes are bf16-exact,
+                    so this is numerically identical to the int conv while
+                    using the bf16 MXU path — measured faster at THIN
+                    channel counts (<128), where int8's (32,128) tiling
+                    wastes lanes (ResNet-50 layer1 was 1.7x slower int8)
       'float'     — everything else (raw image input, no int weights, ...);
                     integer-code weights run at Precision.HIGH (codes are
                     exactly bf16-representable, so only the activation
@@ -246,10 +252,14 @@ def make_deploy_plan(graph: Graph, dparams: dict, act_steps: dict) -> dict:
                     downstream)
 
     Computed once on concrete values so the forward itself is jittable."""
-    return _make_plan(graph, dparams, act_steps, use_s2d_stem=False)
+    import os
+    thin = int(os.environ.get("SSQ_THIN_CHANNELS", "128"))
+    return _make_plan(graph, dparams, act_steps, use_s2d_stem=False,
+                      thin_channels=thin)
 
 
-def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool):
+def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
+               thin_channels: int = 128):
     import numpy as np
     feed = _feeding_sites(graph, act_steps)
     plan = {}
@@ -257,10 +267,15 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool):
         d = dparams[u.name]
         site = feed[u.name]
         kind = "float"
+        thin = min(u.out_ch, u.in_ch // u.groups) < thin_channels
         if d.w_int is not None and site is not None:
             delta, zp, n_bits = act_steps[site]
             zpv = float(np.asarray(zp).reshape(-1)[0])
-            if ((2 ** n_bits - 1) - zpv <= 127) and (-zpv >= -128):
+            fits_int8 = ((2 ** n_bits - 1) - zpv <= 127) and (-zpv >= -128)
+            fits_bf16 = (2 ** n_bits - 1) <= 256  # codes bf16-exact
+            if thin and fits_bf16:
+                kind = "bf16_codes"
+            elif fits_int8:
                 kind = "int8"
             elif n_bits == 8 and zpv == 0.0:
                 kind = "int8_pair"
@@ -365,9 +380,35 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
         d = dparams[spec.name]
         kind_plan, feed_site = plan[spec.name]
         vkind, t, vsite = v
-        if kind_plan in ("int8", "int8_pair"):
+        if kind_plan in ("int8", "int8_pair", "bf16_codes"):
             delta, zp, n_bits = act_steps[feed_site]
-            if kind_plan == "int8":
+            if kind_plan == "bf16_codes":
+                # centered codes as exact bf16 operands, f32 accumulate
+                if vkind == "codes":
+                    xc = t.astype(jnp.bfloat16)
+                elif vkind == "biased":
+                    # biased sites have zp==0, so centered == raw q = t+128
+                    xc = (t.astype(jnp.float32) + 128.0).astype(jnp.bfloat16)
+                else:
+                    q = jnp.clip(jnp.round(t / delta) + zp,
+                                 0, 2 ** n_bits - 1) - zp
+                    xc = q.astype(jnp.bfloat16)
+
+                def acc_fn(wg):
+                    wb = wg.astype(jnp.bfloat16)
+                    if spec.kind == "conv":
+                        wt = jnp.transpose(wb, (2, 3, 1, 0))
+                        pad = ((spec.padding[0], spec.padding[0]),
+                               (spec.padding[1], spec.padding[1]))
+                        return jax.lax.conv_general_dilated(
+                            xc, wt, window_strides=spec.stride, padding=pad,
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                            feature_group_count=spec.groups,
+                            preferred_element_type=jnp.float32)
+                    return jax.lax.dot_general(
+                        xc, wb.T, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            elif kind_plan == "int8":
                 xi = t if vkind == "codes" \
                     else _quant_centered(t, delta, zp, n_bits)
                 acc_fn = lambda wg: _int_acc(spec, xi, wg)

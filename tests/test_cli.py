@@ -65,3 +65,24 @@ class TestCheckpointFlow:
         acc = run(tmp_path, ["--mode", "fused", "--iters_w", "4",
                              "--iters_a", "4", "--act_mode", "shift"])
         assert 0 <= acc["top1"] <= 100
+
+
+class TestDeterminism:
+    def test_same_seed_identical_results(self, tmp_path):
+        """Seeded end-to-end reproducibility (the reference's seed_all role,
+        common.py:77-85): two identical runs give identical accuracy and
+        identical checkpointed quantizer state."""
+        import numpy as np
+        from shiftedscalequantization_tpu.utils import checkpoint as ck
+        a1 = main(COMMON + ["--checkpoint_dir", str(tmp_path / "a"),
+                            "--log_path", str(tmp_path / "a.log"),
+                            "--mode", "fused", "--iters_w", "6"])
+        a2 = main(COMMON + ["--checkpoint_dir", str(tmp_path / "b"),
+                            "--log_path", str(tmp_path / "b.log"),
+                            "--mode", "fused", "--iters_w", "6"])
+        assert a1 == a2
+        q1, _ = ck.load_qstate(str(tmp_path / "a" / "QNN_W2_A4"))
+        q2, _ = ck.load_qstate(str(tmp_path / "b" / "QNN_W2_A4"))
+        w1 = np.asarray(q1["model.layer2.0.conv1"].wq.alpha)
+        w2 = np.asarray(q2["model.layer2.0.conv1"].wq.alpha)
+        np.testing.assert_array_equal(w1, w2)

@@ -299,3 +299,89 @@ class TestLossParity:
         np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(grad_j), ref_grad,
                                    rtol=1e-3, atol=1e-5)
+
+
+class TestTwoPhaseParity:
+    """Two-phase stack parity: init_v (dequant candidates), the
+    'learned_hard_sigmoid' forward, update_delta + init_beta + 'adaround'."""
+
+    @pytest.mark.parametrize("kind", ["conv", "fc"])
+    def test_init_v_and_lhs_forward(self, ref, wdata, kind):
+        import dataclasses
+        torch = ref.torch
+        w = wdata[kind]
+        sts = (0.5, 1.0)
+        uaq = ref.UAQ(n_bits=4, symmetric=False, channel_wise=True,
+                      scale_method="max", ch=w.shape)
+        _ = uaq(torch.tensor(w))
+        cq = ref.CQ(1.0, uaq, torch.tensor(w), shiftTarget=list(sts))
+        cq.init_v(torch.tensor(w))   # dequant candidates + alpha + mode lhs
+        ref_soft = cq(torch.tensor(w)).detach().numpy()
+
+        oc = w.shape[0]
+        qp, _ = Q.init_weight_qparams(jnp.asarray(w.reshape(oc, -1)), 4,
+                                      False, True, scale_method="max")
+        mine = W.init_shifted_scale_twophase(qp, jnp.asarray(w), sts)
+        ref_xq = np.stack([t.numpy() for t in cq.x_q])
+        np.testing.assert_allclose(np.asarray(mine.x_q), ref_xq, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mine(jnp.asarray(w))),
+                                   ref_soft, atol=1e-5)
+        # hard targets
+        cq.hard_targets = True
+        ref_hard = cq(torch.tensor(w)).detach().numpy()
+        mine_h = dataclasses.replace(mine, hard_targets=True)
+        np.testing.assert_allclose(np.asarray(mine_h(jnp.asarray(w))),
+                                   ref_hard, atol=1e-5)
+
+    def test_update_delta_init_beta_adaround_forward(self, ref, wdata):
+        """bake_shift_to_adaround vs the reference's update_delta +
+        init_beta + opt_mode='adaround' forward (channelQuant.py:65-78,
+        296-307)."""
+        import dataclasses
+        torch = ref.torch
+        w = wdata["conv"]
+        sts = (0.5, 1.0)
+        uaq = ref.UAQ(n_bits=4, symmetric=False, channel_wise=True,
+                      scale_method="max", ch=w.shape)
+        _ = uaq(torch.tensor(w))
+        cq = ref.CQ(1.0, uaq, torch.tensor(w), shiftTarget=list(sts))
+        cq.init_v(torch.tensor(w))
+        cq.hard_targets = True
+        cq.update_delta()            # delta <- per-(oc,ic) effective
+        cq.init_beta(torch.tensor(w))
+        cq.opt_mode = "adaround"
+        ref_soft = cq(torch.tensor(w)).detach().numpy()
+        cq.hard_round = True
+        ref_hard = cq(torch.tensor(w)).detach().numpy()
+
+        oc = w.shape[0]
+        qp, _ = Q.init_weight_qparams(jnp.asarray(w.reshape(oc, -1)), 4,
+                                      False, True, scale_method="max")
+        ss = W.init_shifted_scale_twophase(qp, jnp.asarray(w), sts)
+        ss = dataclasses.replace(ss, hard_targets=True)
+        ada = W.bake_shift_to_adaround(ss, jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(ada.alpha),
+                                   cq.beta.detach().numpy(),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(ada(jnp.asarray(w))),
+                                   ref_soft, atol=1e-5)
+        ada_h = dataclasses.replace(ada, soft=False)
+        np.testing.assert_allclose(np.asarray(ada_h(jnp.asarray(w))),
+                                   ref_hard, atol=1e-5)
+
+    def test_none_mode_forward(self, ref, wdata):
+        """ChannelQuant opt_mode='none' (plain round at delta*shiftedScale,
+        channelQuant.py:79-94) equals UniformWQ at the base delta."""
+        torch = ref.torch
+        w = wdata["fc"]
+        uaq = ref.UAQ(n_bits=4, symmetric=False, channel_wise=True,
+                      scale_method="max", ch=w.shape)
+        _ = uaq(torch.tensor(w))
+        cq = ref.CQ(1.0, uaq, torch.tensor(w), shiftTarget=[1.0])
+        cq.opt_mode = "none"
+        ref_out = cq(torch.tensor(w)).detach().numpy()
+        oc = w.shape[0]
+        qp, _ = Q.init_weight_qparams(jnp.asarray(w.reshape(oc, -1)), 4,
+                                      False, True, scale_method="max")
+        mine = W.UniformWQ(qp=qp)(jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(mine), ref_out, atol=1e-6)
