@@ -93,8 +93,11 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 20))
     hw = int(os.environ.get("BENCH_HW", 224))
     arch = os.environ.get("BENCH_ARCH", "resnet18")
+    # secondary configs off by default: the driver's bench invocation
+    # should stay fast and deterministic; see BENCHMARKS.md for the
+    # multi-arch numbers (BENCH_EXTRA_ARCHS=resnet50 to reproduce)
     extra_archs = [a for a in os.environ.get(
-        "BENCH_EXTRA_ARCHS", "resnet50").split(",") if a]
+        "BENCH_EXTRA_ARCHS", "").split(",") if a]
 
     ips, fp_ips, q_t, fp_t = bench_arch(arch, batch, iters, hw)
     extras = {
