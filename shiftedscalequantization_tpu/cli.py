@@ -180,10 +180,12 @@ def main(argv=None):
             units.update(node_unit_names(find_node(graph, t)))
         base = dataclasses.replace(base, weight_on=frozenset(units))
 
+    cache_dtype = {"bfloat16": jnp.bfloat16, "float32": None,
+                   None: None}[args.cache_dtype]
     qstate, history, prefix = reconstruct_model(
         graph, params, qstate, pending, cali_data, settings,
         jax.random.PRNGKey(args.seed), batch_size=args.batch_size,
-        base_flags=base, on_node_done=on_done,
+        base_flags=base, on_node_done=on_done, cache_dtype=cache_dtype,
         # one compiled capture graph for all prefixes — compiles dominate
         # calibration wall-clock on remote accelerators
         single_graph_capture=split)

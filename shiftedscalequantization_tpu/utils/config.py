@@ -106,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto_candidates", default=False, type=_boolish,
                    help="per-unit data-driven shift candidate search "
                         "(rank voting over {1/8..15/8})")
+    p.add_argument("--cache_dtype", default=None, type=str,
+                   choices=[None, "float32", "bfloat16"],
+                   help="dtype for cached calibration activations "
+                        "(bfloat16 halves cache HBM; reference keeps fp32)")
     p.add_argument("--golden_dir", default=None, type=str,
                    help="golden-logit regression dir (validate_with_loss "
                         "role): saves result_{W}bit.npz on first run, "
