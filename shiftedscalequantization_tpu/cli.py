@@ -39,7 +39,13 @@ def seed_all(seed: int):
 
 def build_everything(args):
     graph, _ = zoo.build(args.arch, dataset=args.dataset)
-    raw = resnet_m.init_params(jax.random.PRNGKey(args.seed), graph)
+    if getattr(args, "pretrained", None):
+        # trained raw params from the on-device trainer (the reference's
+        # hubconf pretrained-checkpoint role, trash/hubconf.py:16-68)
+        from .train import load_raw_params
+        raw = load_raw_params(args.pretrained)
+    else:
+        raw = resnet_m.init_params(jax.random.PRNGKey(args.seed), graph)
     cfg = QuantConfig(
         n_bits_w=args.n_bits_w, n_bits_a=args.n_bits_a,
         channel_wise=args.channel_wise, sym=args.sym,
@@ -54,6 +60,12 @@ def build_data(args):
         return build_cifar10_data(batch_size=args.batch_size,
                                   data_path=args.data_path, seed=args.seed,
                                   synthetic=args.synthetic_data)
+    if args.dataset == "digits":
+        from .data.datasets import build_digits_data
+        return build_digits_data(batch_size=args.batch_size, seed=args.seed)
+    if args.dataset == "synth10":
+        from .data.datasets import build_synth10_data
+        return build_synth10_data(batch_size=args.batch_size, seed=args.seed)
     return build_imagenet_data(batch_size=args.batch_size,
                                data_path=args.data_path, seed=args.seed,
                                synthetic=args.synthetic_data)
@@ -196,6 +208,14 @@ def main(argv=None):
     act_mode = args.act_mode
     if act_mode == "auto":
         act_mode = "delta" if args.mode == "brecq" else "none"
+    if args.act_quant:
+        # RE-initialize act scales on 64 samples now that the weights are
+        # reconstructed (reference Brecq/main_imagenet.py:231-234: the act
+        # quantizers lazily init on the first set_quant_state(True, True)
+        # forward AFTER recon_model). The pre-recon calibration above saw
+        # scale-init-only weights — a different activation distribution.
+        qstate = calibrate_acts(graph, params, qstate, cali_data[:64], cfg,
+                                flags=prefix)
     if args.act_quant and act_mode != "none" and args.iters_a > 0:
         act_settings = dataclasses.replace(settings, iters=args.iters_a,
                                            act_lr=args.lr)

@@ -113,18 +113,71 @@ def _load_cifar10_dir(path):
     return (np.concatenate(xs), np.concatenate(ys)), test
 
 
+def build_digits_data(batch_size: int = 64, seed: int = 1005, shard=(0, 1),
+                      use_native: Optional[bool] = None, **_):
+    """Real handwritten digits (sklearn's bundled 1797-sample set),
+    upsampled to 32x32 RGB — see data/realdata.py and ACCURACY.md."""
+    from .realdata import digits_arrays
+    x_tr, y_tr, x_te, y_te = digits_arrays()
+    train = _make_loader(x_tr, y_tr, batch_size=batch_size, shuffle=True,
+                         seed=seed, shard=shard, use_native=use_native)
+    test = _make_loader(x_te, y_te, batch_size=batch_size, shuffle=False,
+                        seed=seed, shard=shard, use_native=use_native)
+    return train, test
+
+
+def build_synth10_data(batch_size: int = 64, seed: int = 1005, shard=(0, 1),
+                       n_train: int = 4096, n_test: int = 2048,
+                       use_native: Optional[bool] = None, **_):
+    """Procedural 10-class shape dataset (data/realdata.py). The 'train'
+    loader is a fixed pool drawn from a DIFFERENT seed than the test set —
+    it feeds calibration-sample extraction, never training (training
+    renders fresh batches on device per step)."""
+    from .realdata import synth10_test_arrays
+    x_tr, y_tr = synth10_test_arrays(n_train, seed=seed + 123)
+    x_te, y_te = synth10_test_arrays(n_test, seed=7)
+    train = _make_loader(x_tr, y_tr, batch_size=batch_size, shuffle=True,
+                         seed=seed, shard=shard, use_native=use_native)
+    test = _make_loader(x_te, y_te, batch_size=batch_size, shuffle=False,
+                        seed=seed, shard=shard, use_native=use_native)
+    return train, test
+
+
 def build_imagenet_data(batch_size: int = 64, data_path: str = "~/dataset/imagenet",
                         seed: int = 1005, shard=(0, 1),
                         synthetic: Optional[bool] = None, synthetic_n: int = 512,
                         input_size: int = 224):
-    """ImageNet loaders; synthetic fallback keeps shapes (N,224,224,3)."""
+    """ImageNet loaders (reference data/imagenet.py:7-47).
+
+    Real-data resolution order when ``data_path`` exists:
+      1. ImageFolder JPEGs ({root}/{train,val}/{class}/*.JPEG) — decoded
+         with the reference's resize/crop/normalize math (PIL-backed).
+      2. Preprocessed arrays ({root}/{train,val}.npz of images+labels, or
+         shard directories) — uint8 gets the val-transform math, float32
+         is taken as already-normalized 224 NHWC.
+    The synthetic fallback keeps shapes (N,224,224,3) when neither exists.
+    """
+    from . import imagenet_io as inio
     data_path = os.path.expanduser(data_path)
     if synthetic is None:
-        synthetic = not os.path.exists(data_path)
+        synthetic = not (inio.has_image_folder(data_path)
+                         or inio.has_arrays(data_path))
     if not synthetic:
-        raise NotImplementedError(
-            "on-disk ImageNet decoding not available in this environment; "
-            "use synthetic=True or preprocessed .npz arrays")
+        if inio.has_image_folder(data_path):
+            train = inio.ImageFolderLoader(
+                os.path.join(data_path, "train"), batch_size, train=True,
+                input_size=input_size, seed=seed, shard=shard)
+            test = inio.ImageFolderLoader(
+                os.path.join(data_path, "val"), batch_size, train=False,
+                input_size=input_size, seed=seed, shard=shard)
+            return train, test
+        x_tr, y_tr = inio.load_array_split(data_path, "train", input_size)
+        x_te, y_te = inio.load_array_split(data_path, "val", input_size)
+        train = _make_loader(x_tr, y_tr, batch_size=batch_size, shuffle=True,
+                             seed=seed, shard=shard)
+        test = _make_loader(x_te, y_te, batch_size=batch_size, shuffle=False,
+                            seed=seed, shard=shard)
+        return train, test
     tr = _synthetic(synthetic_n, input_size, 1000, seed)
     te = _synthetic(synthetic_n // 2, input_size, 1000, seed + 1)
     train = ArrayLoader(*tr, batch_size=batch_size, shuffle=True, seed=seed,

@@ -13,9 +13,10 @@ from .resnet import init_params
 def build(arch: str, num_classes: int | None = None, dataset: str = "imagenet"):
     """Returns (graph, torch_key_map_fn)."""
     nc = num_classes
+    small = dataset in ("cifar10", "digits", "synth10")  # 32x32 inputs
     if nc is None:
-        nc = 10 if dataset == "cifar10" else 1000
-    variant = "cifar" if dataset == "cifar10" else "imagenet"
+        nc = 10 if small else 1000
+    variant = "cifar" if small else "imagenet"
     if arch.startswith("resnet"):
         depth = int(arch.removeprefix("resnet"))
         g = resnet.build_resnet(depth, num_classes=nc, variant=variant)

@@ -40,20 +40,22 @@ def floor_ste(x: jax.Array) -> jax.Array:
 
 
 def lp_loss(pred: jax.Array, tgt: jax.Array, p: float = 2.0,
-            reduction: str = "none") -> jax.Array:
+            reduction: str = "none", channel_axis: int = -1) -> jax.Array:
     """L_p reconstruction loss (reference quant_layer.py:25-32).
 
-    reduction='none': sum over axis 1, then mean (the reference's default —
-    used for per-sample losses on NCHW/NC tensors). reduction='all': plain mean.
+    reduction='none': sum over the channel axis, then mean (the reference's
+    default, written for NCHW/NC tensors where channels sit at axis 1).
+    reduction='all': plain mean.
 
-    NOTE: the reference computes this on NCHW tensors where axis 1 is the
-    channel axis. Our activations are NHWC; callers that need bit-exact
-    parity with the reference should pass NCHW-transposed tensors or use
-    channel_axis.
+    This repo's activations are NHWC, so ``channel_axis`` defaults to -1
+    (the engine's lp_loss_cl alias). Callers holding NCHW-layout tensors
+    (e.g. the parity harness, or (OC, IC, KH, KW) weights) must pass
+    ``channel_axis=1`` explicitly — the old hardcoded axis-1 sum silently
+    summed over H for NHWC inputs.
     """
     d = jnp.abs(pred - tgt) ** p
     if reduction == "none":
-        return d.sum(axis=1).mean()
+        return d.sum(axis=channel_axis).mean()
     return d.mean()
 
 

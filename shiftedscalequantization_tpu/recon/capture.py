@@ -26,6 +26,25 @@ import jax.numpy as jnp
 from ..graph import Flags, Graph, forward
 
 
+def _padded_batches(data, bs: int):
+    """Yield ``(xb, n_valid)`` fixed-size batches covering ALL rows of data.
+
+    The reference capture consumes every calibration sample
+    (save_inp_oup_data iterates the whole cali tensor, data_utils.py:24-27);
+    plain floor division here silently dropped ``n % bs`` samples. The final
+    partial batch is zero-padded up to ``bs`` so the jitted capture graph
+    keeps one compiled shape; callers trim outputs to ``n_valid`` rows.
+    """
+    n = data.shape[0]
+    n_full, rem = divmod(n, bs)
+    for i in range(n_full):
+        yield data[i * bs:(i + 1) * bs], bs
+    if rem:
+        part = data[n_full * bs:]
+        pad = jnp.zeros((bs - rem,) + tuple(part.shape[1:]), part.dtype)
+        yield jnp.concatenate([part, pad], axis=0), rem
+
+
 def capture_io(graph: Graph, params, qstate, target: str, cali_data,
                inp_flags: Flags, out_flags: Flags, batch_size: int = 64,
                cache_dtype=None):
@@ -34,8 +53,6 @@ def capture_io(graph: Graph, params, qstate, target: str, cali_data,
     cali_data: (N, H, W, C) on host or device. Runs ceil(N/batch) jitted
     capture passes per flag set and concatenates.
     """
-    n = cali_data.shape[0]
-    n_batches = max(n // batch_size, 1)
 
     @partial(jax.jit, static_argnames=("flags",))
     def cap(p, qs, xb, flags):
@@ -43,10 +60,9 @@ def capture_io(graph: Graph, params, qstate, target: str, cali_data,
 
     def run(flags, want_input):
         outs = []
-        for i in range(n_batches):
-            xb = cali_data[i * batch_size:(i + 1) * batch_size]
+        for xb, n_valid in _padded_batches(cali_data, batch_size):
             cin, cout = cap(params, qstate, xb, flags)
-            t = cin if want_input else cout
+            t = (cin if want_input else cout)[:n_valid]
             if cache_dtype is not None:
                 t = t.astype(cache_dtype)
             outs.append(t)
@@ -125,37 +141,31 @@ class CaptureSession:
         if self._fp_outs is not None:
             return self._fp_outs is not False
         n = self.cali.shape[0]
-        bs = self.batch_size
-        n_batches = max(n // bs, 1)
         probe = self._fn(self.params, self.cali[:1])
         total = sum(v[1].size for v in probe.values()) * n * 4  # f32 bytes
         if total > self._fp_cache_limit:
             self._fp_outs = False
             return False
         outs = {t: [] for t in self.targets}
-        for i in range(n_batches):
-            res = self._fn(self.params, self.cali[i * bs:(i + 1) * bs])
+        for xb, n_valid in _padded_batches(self.cali, self.batch_size):
+            res = self._fn(self.params, xb)
             for t in self.targets:
-                outs[t].append(res[t][1])  # keep f32: exact capture_io parity
+                outs[t].append(res[t][1][:n_valid])  # f32: capture_io parity
         self._fp_outs = {t: jnp.concatenate(v) for t, v in outs.items()}
         return True
 
     def capture(self, qstate, target: str, prefix_units, cache_dtype=None):
         """(cached_inp under quantized prefix, cached_out all-FP)."""
-        n = self.cali.shape[0]
-        bs = self.batch_size
-        n_batches = max(n // bs, 1)
         p_prefix = self._sub_params(qstate, frozenset(prefix_units))
         have_fp = self._ensure_fp_cache()
         inps, outs = [], []
-        for i in range(n_batches):
-            xb = self.cali[i * bs:(i + 1) * bs]
-            cin = self._fn(p_prefix, xb)[target][0]
+        for xb, n_valid in _padded_batches(self.cali, self.batch_size):
+            cin = self._fn(p_prefix, xb)[target][0][:n_valid]
             if cache_dtype is not None:
                 cin = cin.astype(cache_dtype)
             inps.append(cin)
             if not have_fp:
-                cout = self._fn(self.params, xb)[target][1]
+                cout = self._fn(self.params, xb)[target][1][:n_valid]
                 outs.append(cout.astype(cache_dtype)
                             if cache_dtype is not None else cout)
         cached_out = self._fp_outs[target] if have_fp \
@@ -197,10 +207,8 @@ def capture_grads(graph: Graph, params, qstate, target: str, cali_data,
 
         return jax.grad(kl_from_t)(t)
 
-    n = cali_data.shape[0]
     outs = []
-    for i in range(max(n // batch_size, 1)):
-        xb = cali_data[i * batch_size:(i + 1) * batch_size]
-        outs.append(grad_batch(params, qstate, xb))
+    for xb, n_valid in _padded_batches(cali_data, batch_size):
+        outs.append(grad_batch(params, qstate, xb)[:n_valid])
     grads = jnp.concatenate(outs, axis=0)
     return jnp.abs(grads) + damping

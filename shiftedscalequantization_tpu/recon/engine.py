@@ -268,6 +268,79 @@ def _chunked_scan(step_body, theta, opt_state, key, iters: int,
 
 
 # ---------------------------------------------------------------------------
+# module-level jitted recon step (shared across same-shaped nodes)
+#
+# The round-1 engine built a fresh jitted closure per reconstruct_node call,
+# so two IDENTICALLY-shaped blocks (e.g. ResNet layer1.0 / layer1.1) still
+# compiled separate graphs (~30 remote compiles for a ResNet-18 pipeline —
+# calibration was compile-bound, BENCHMARKS.md). These top-level functions
+# key jit's cache on (node spec, settings, flags, pytree structure, shapes):
+# repeated block shapes now hit the cache, cutting distinct recon-step
+# compiles to the number of UNIQUE block geometries (4 for ResNet-18).
+# ---------------------------------------------------------------------------
+
+def _recon_loss(node, s: ReconSettings, flags, p_norm, qstate_sub, th,
+                params_sub, xb, yb, gb, step):
+    unit_names = node_unit_names(node)
+    qs = _insert_theta(qstate_sub, th)
+    pred = apply_node(node, params_sub, qs, xb, flags)
+    rec = rec_loss_fn(pred, yb, gb, s.rec_loss, p_norm)
+    reg = _reg_terms(qs, unit_names, step, s, isinstance(node, BlockSpec))
+    return rec + reg, rec
+
+
+def _recon_step_body(node, s, flags, p_norm, qstate_sub, params_sub,
+                     cached_inp, cached_out, cached_grads, carry, i, key):
+    th, opt = carry
+    tx = optax.adam(s.lr)
+    k = jax.random.fold_in(key, i)
+    idx = jax.random.permutation(k, cached_inp.shape[0])[: s.batch_size]
+    xb = cached_inp[idx].astype(jnp.float32)
+    yb = cached_out[idx].astype(jnp.float32)
+    gb = cached_grads[idx].astype(jnp.float32) \
+        if cached_grads is not None else None
+    (loss, rec), grads = jax.value_and_grad(
+        _recon_loss, argnums=5, has_aux=True)(
+            node, s, flags, p_norm, qstate_sub, th, params_sub, xb, yb, gb,
+            i.astype(jnp.float32))
+    if s.grad_psum_axis is not None:
+        grads = jax.lax.pmean(grads, s.grad_psum_axis)
+    updates, opt = tx.update(grads, opt, th)
+    th = optax.apply_updates(th, updates)
+    return (th, opt), rec
+
+
+@partial(jax.jit, static_argnames=("node", "s", "flags", "p_norm", "nsteps"))
+def _recon_chunk_jit(node, s, flags, p_norm, nsteps, theta, opt_state, key,
+                     t0, params_sub, qstate_sub, cached_inp, cached_out,
+                     cached_grads):
+    def body(carry, j):
+        return _recon_step_body(node, s, flags, p_norm, qstate_sub,
+                                params_sub, cached_inp, cached_out,
+                                cached_grads, carry, t0 + j, key)
+    (theta, opt_state), losses = jax.lax.scan(
+        body, (theta, opt_state), jnp.arange(nsteps))
+    return theta, opt_state, losses
+
+
+@partial(jax.jit, static_argnames=("node", "s", "flags", "p_norm"))
+def _recon_step_jit(node, s, flags, p_norm, theta, opt_state, key, i,
+                    params_sub, qstate_sub, cached_inp, cached_out,
+                    cached_grads):
+    (theta, opt_state), loss = _recon_step_body(
+        node, s, flags, p_norm, qstate_sub, params_sub, cached_inp,
+        cached_out, cached_grads, (theta, opt_state), i, key)
+    return theta, opt_state, loss
+
+
+@partial(jax.jit, static_argnames=("node", "flags", "rec_kind", "p_norm"))
+def _eval_rec_jit(node, flags, rec_kind, p_norm, params_sub, qstate_sub,
+                  xb, yb, gb):
+    pred = apply_node(node, params_sub, qstate_sub, xb, flags)
+    return rec_loss_fn(pred, yb, gb, rec_kind, p_norm)
+
+
+# ---------------------------------------------------------------------------
 # main entry
 # ---------------------------------------------------------------------------
 
@@ -286,40 +359,45 @@ def reconstruct_node(graph, params, qstate, node_name: str,
     p_norm = s.p if s.p is not None else (2.0 if is_block else 1.0)
     flags = Flags(weight_on=frozenset(unit_names),
                   output_affine=s.opt_output_affine)
-
-    def loss_fn(th, xb, yb, gb, step):
-        qs = _insert_theta(qstate, th)
-        pred = apply_node(node, params, qs, xb, flags)
-        rec = rec_loss_fn(pred, yb, gb, s.rec_loss, p_norm)
-        reg = _reg_terms(qs, unit_names, step, s, is_block)
-        return rec + reg, rec
+    # the jitted step sees only this node's params/qstate: identical-shaped
+    # nodes (same specs modulo name) then share one compiled step — see the
+    # module-level _recon_chunk_jit note. Node names differ per layer, so
+    # specs are renamed to position-canonical names for the cache key.
+    node_c, params_sub, qstate_sub, flags_c = _canonicalize(
+        node, params, qstate, flags, unit_names)
+    theta = {_CANON[n]: theta[n] for n in theta}
 
     tx = optax.adam(s.lr)
     opt_state = tx.init(theta)
-    n = cached_inp.shape[0]
-
-    def step_body(carry, i, key):
-        th, opt = carry
-        k = jax.random.fold_in(key, i)
-        idx = jax.random.permutation(k, n)[: s.batch_size]
-        xb = cached_inp[idx].astype(jnp.float32)
-        yb = cached_out[idx].astype(jnp.float32)
-        gb = cached_grads[idx].astype(jnp.float32) \
-            if cached_grads is not None else None
-        (loss, rec), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(th, xb, yb, gb, i.astype(jnp.float32))
-        if s.grad_psum_axis is not None:
-            grads = jax.lax.pmean(grads, s.grad_psum_axis)
-        updates, opt = tx.update(grads, opt, th)
-        th = optax.apply_updates(th, updates)
-        return (th, opt), rec
 
     metrics = {}
     if s.iters > 0:
-        theta, opt_state, trace = _chunked_scan(
-            step_body, theta, opt_state, key, s.iters, s.chunk)
-        metrics["rec_trace"] = trace
+        chunk = s.chunk
+        if chunk is None:
+            chunk = 1 if jax.default_backend() == "cpu" else 500
+        chunk = max(min(chunk, s.iters), 1)
+        traces = []
+        if chunk == 1:
+            for i in range(s.iters):
+                theta, opt_state, loss = _recon_step_jit(
+                    node_c, s, flags_c, p_norm, theta, opt_state, key,
+                    jnp.int32(i), params_sub, qstate_sub, cached_inp,
+                    cached_out, cached_grads)
+                traces.append(loss)
+            metrics["rec_trace"] = jnp.stack(traces)
+        else:
+            done = 0
+            while done < s.iters:
+                nsteps = min(chunk, s.iters - done)
+                theta, opt_state, losses = _recon_chunk_jit(
+                    node_c, s, flags_c, p_norm, nsteps, theta, opt_state,
+                    key, jnp.int32(done), params_sub, qstate_sub,
+                    cached_inp, cached_out, cached_grads)
+                traces.append(losses)
+                done += nsteps
+            metrics["rec_trace"] = jnp.concatenate(traces)
 
+    theta = {n: theta[_CANON[n]] for n in unit_names if _CANON[n] in theta}
     qstate = _insert_theta(qstate, theta)
 
     # soft vs hard loss on the first batch (reference
@@ -329,16 +407,52 @@ def reconstruct_node(graph, params, qstate, node_name: str,
     gb0 = cached_grads[: s.batch_size].astype(jnp.float32) \
         if cached_grads is not None else None
 
-    @jax.jit
     def eval_rec(qs):
-        pred = apply_node(node, params, qs, xb, flags)
-        return rec_loss_fn(pred, yb, gb0, s.rec_loss, p_norm)
+        qs_sub = {_CANON[n]: qs[n] for n in unit_names}
+        return _eval_rec_jit(node_c, flags_c, s.rec_loss, p_norm, params_sub,
+                             qs_sub, xb, yb, gb0)
 
     metrics["soft_loss"] = eval_rec(qstate)
     qstate = _harden(qstate, unit_names, s.mode)
     metrics["hard_loss"] = eval_rec(qstate)
     metrics["selection_ratio"] = selection_ratios(qstate, unit_names)
     return qstate, metrics
+
+
+# real unit name -> position-canonical name ("__u{i}__"), filled by
+# _canonicalize; a real name belongs to exactly one node, so entries are
+# stable across calls
+_CANON: dict = {}
+
+
+def _canonicalize(node, params, qstate, flags, unit_names):
+    """Rename the node's unit specs to position-canonical names so that
+    geometrically identical nodes (e.g. ResNet layer1.0 vs layer1.1) hash
+    to the SAME jit cache key. Returns (node', params_sub, qstate_sub,
+    flags') under the canonical names; _CANON maps real -> canonical."""
+    mapping = {}
+    for i, n in enumerate(unit_names):
+        mapping[n] = f"__u{i}__"
+    _CANON.update(mapping)
+
+    def rename_unit(u):
+        return dataclasses.replace(u, name=mapping[u.name])
+
+    if isinstance(node, BlockSpec):
+        node_c = dataclasses.replace(
+            node, name="__node__",
+            units=tuple(rename_unit(u) for u in node.units),
+            downsample=rename_unit(node.downsample)
+            if node.downsample is not None else None)
+    else:
+        node_c = rename_unit(node)
+    params_sub = {mapping[n]: params[n] for n in unit_names}
+    qstate_sub = {mapping[n]: qstate[n] for n in unit_names}
+    flags_c = dataclasses.replace(
+        flags, weight_on=frozenset(mapping[n] for n in flags.weight_on
+                                   if n in mapping),
+        act_on=frozenset(mapping[n] for n in flags.act_on if n in mapping))
+    return node_c, params_sub, qstate_sub, flags_c
 
 
 def selection_ratios(qstate, unit_names):

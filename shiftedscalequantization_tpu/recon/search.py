@@ -133,6 +133,22 @@ def output_greedy_selection(spec, cands, cached_inp, cached_out,
     return sel, loss_of(out)
 
 
+def dist_selection(qp: QParams, w: jax.Array,
+                   qparams: Tuple[float, ...] = (1.0, 0.5), p: float = 2.0):
+    """Distance-metric greedy (run_layerDist, quant_layer.py:361-405).
+
+    For each (oc, ic) pair the reference tries candidate divisors
+    qParam[k] in {1.0, 0.5} with effective step ``delta / qParam[k]`` (note:
+    *divided*, the opposite direction from ChannelQuant's delta * target)
+    and keeps the k minimizing the plain L2 weight distance. Each pair is
+    independent, so the whole O(OC*IC*K) loop is one batched argmin.
+
+    Returns (selection (OC, IC) int32, total weight loss).
+    """
+    cands = candidate_weights(qp, w, tuple(1.0 / q for q in qparams))
+    return weight_greedy_selection(w, cands, p=p)
+
+
 def random_selection(key, oc: int, ic: int, n_targets: int,
                      prob_nonbase: float = 0.5):
     """Random per-(oc,ic) selection baseline (channelRandomizeTest,

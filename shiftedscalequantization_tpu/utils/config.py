@@ -24,7 +24,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workers", default=4, type=int)
     p.add_argument("--data_path", default="~/dataset/cifar10", type=str)
     p.add_argument("--dataset", default="cifar10", type=str,
-                   choices=["cifar10", "imagenet"])
+                   choices=["cifar10", "imagenet", "digits", "synth10"],
+                   help="digits/synth10: the on-device datasets of "
+                        "ACCURACY.md (train with -m ...train first)")
+    p.add_argument("--pretrained", default=None, type=str,
+                   help="path to trained raw params (.npz from -m "
+                        "shiftedscalequantization_tpu.train; the hubconf "
+                        "pretrained-checkpoint role). Default: random init")
 
     # quantization (common.py:33-38)
     p.add_argument("--n_bits_w", default=2, type=int)

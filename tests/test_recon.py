@@ -61,6 +61,32 @@ class TestCapture:
                            prefix=Flags(weight_on=frozenset({"model.conv1"})))
         assert float(jnp.abs(fp_in - q_in).max()) > 0  # W2 prefix quant visible
 
+    def test_remainder_batch_not_dropped(self, setup):
+        """N % batch_size != 0 must capture ALL samples (round-1 review:
+        the old floor division silently dropped the remainder)."""
+        graph, params, qstate, cali, _ = setup
+        for n in (50, 20):  # 50 = 1 full + remainder; 20 < batch_size
+            cin, cout = capture_io(graph, params, qstate, "model.layer1.0",
+                                   cali[:n], inp_flags=Flags(),
+                                   out_flags=Flags(), batch_size=32)
+            assert cin.shape[0] == n and cout.shape[0] == n
+            full, _ = _capture(graph, params, qstate, "model.layer1.0", cali)
+            np.testing.assert_allclose(np.asarray(cin), np.asarray(full[:n]),
+                                       rtol=1e-6)
+
+    def test_session_remainder_matches_capture_io(self, setup):
+        from shiftedscalequantization_tpu.recon.capture import CaptureSession
+        graph, params, qstate, cali, _ = setup
+        sess = CaptureSession(graph, params, cali[:50], ("model.layer1.0",),
+                              batch_size=32)
+        si, so = sess.capture(qstate, "model.layer1.0", [])
+        ri, ro = capture_io(graph, params, qstate, "model.layer1.0",
+                            cali[:50], inp_flags=Flags(), out_flags=Flags(),
+                            batch_size=32)
+        assert si.shape[0] == 50
+        np.testing.assert_allclose(np.asarray(si), np.asarray(ri), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(so), np.asarray(ro), atol=1e-6)
+
 
 class TestFusedRecon:
     def test_block_recon_improves(self, setup):

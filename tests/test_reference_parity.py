@@ -369,6 +369,137 @@ class TestTwoPhaseParity:
         np.testing.assert_allclose(np.asarray(ada_h(jnp.asarray(w))),
                                    ref_hard, atol=1e-5)
 
+    def test_recon_trajectory_golden(self, ref, wdata):
+        """End-to-end optimizer-trajectory parity: N Adam steps of the
+        reference's block_recon_fused_shiftedScale
+        (layer_recon_fused_shiftedScale.py:23-141) vs engine.reconstruct_node
+        on identical cached tensors — loss curve, soft->hard flip losses,
+        and hardened shift selections must all agree (the round-1 review's
+        missing item 3).
+
+        The calibration cache holds exactly batch_size samples, so both
+        sides' random permutation selects the identical full batch every
+        step — the trajectories are then deterministic and comparable
+        despite different RNGs (loss is permutation-invariant).
+        """
+        import dataclasses
+
+        torch = ref.torch
+        sys.path.insert(0, REF)
+        from models.resnet import BasicBlock
+        from quant.fold_bn import search_fold_and_remove_bn
+        from quant.quant_block import QuantBasicBlock
+        import quant.layer_recon_fused_shiftedScale as ref_recon
+
+        iters, bs, sts = 100, 32, (1 - 1 / 32, 1 + 1 / 32, 1.0)
+        lmda = [0.01, 0.1]
+        rng = np.random.default_rng(11)
+
+        # --- torch side: folded BasicBlock 8->8, fixed weights/BN ----------
+        torch.manual_seed(0)
+        # reference BasicBlock's default norm_layer is a module global the
+        # ResNet ctor sets (models/resnet.py:129) — pass it explicitly
+        blk = BasicBlock(8, 8, norm_layer=torch.nn.BatchNorm2d)
+        with torch.no_grad():
+            for conv in (blk.conv1, blk.conv2):
+                conv.weight.copy_(torch.tensor(
+                    rng.normal(size=(8, 8, 3, 3)).astype(np.float32) * 0.3))
+            for bn in (blk.bn1, blk.bn2):
+                bn.running_mean.copy_(torch.tensor(
+                    rng.normal(size=8).astype(np.float32) * 0.1))
+                bn.running_var.copy_(torch.tensor(
+                    rng.uniform(0.5, 2.0, size=8).astype(np.float32)))
+                bn.weight.copy_(torch.tensor(
+                    rng.uniform(0.5, 1.5, size=8).astype(np.float32)))
+                bn.bias.copy_(torch.tensor(
+                    rng.normal(size=8).astype(np.float32) * 0.1))
+        search_fold_and_remove_bn(blk)
+        qblk = QuantBasicBlock(blk, dict(n_bits=4, channel_wise=True,
+                                         scale_method="max"),
+                               dict(n_bits=8, leaf_param=True))
+        inp = torch.tensor(rng.normal(size=(bs, 8, 8, 8)).astype(np.float32))
+        qblk.set_quant_state(False, False)
+        with torch.no_grad():
+            out_fp = qblk(inp)
+        qblk.set_quant_state(True, False)
+        with torch.no_grad():
+            _ = qblk(inp)                       # lazy UAQ scale init
+        for qm in (qblk.conv1, qblk.conv2):     # driver's quantizer swap
+            qm.weight_quantizer = ref.CQ(1.0, qm.weight_quantizer,
+                                         qm.org_weight.data,
+                                         shiftTarget=list(sts))
+        qblk.cached_inp_features = [inp]
+        qblk.cached_out_features = [out_fp]
+
+        traj_ref = []
+        orig_loss = ref_recon.FusedScaleLossFunction
+
+        class RecLoss(orig_loss):
+            def __call__(self, pred, tgt, grad=None):
+                out = super().__call__(pred, tgt, grad)
+                traj_ref.append(self.rec_loss)
+                return out
+
+        ref_recon.FusedScaleLossFunction = RecLoss
+        try:
+            soft_hard = ref_recon.block_recon_fused_shiftedScale(
+                qblk, iters=iters, lmda=lmda, model=qblk)
+        finally:
+            ref_recon.FusedScaleLossFunction = orig_loss
+
+        # --- jax side: same graph, params, cache ---------------------------
+        from shiftedscalequantization_tpu.graph import BlockSpec, UnitSpec, \
+            UnitQuant
+        from shiftedscalequantization_tpu.recon import ReconSettings, \
+            reconstruct_node
+
+        units = (
+            UnitSpec("b.conv1", "conv", 8, 8, kernel=(3, 3), padding=(1, 1),
+                     activation="relu"),
+            UnitSpec("b.conv2", "conv", 8, 8, kernel=(3, 3), padding=(1, 1),
+                     disable_act_quant=True),
+        )
+        graph = (BlockSpec("b", units=units, downsample=None, residual=True,
+                           post_activation="relu"),)
+        params, qstate = {}, {}
+        for uname, qm in (("b.conv1", qblk.conv1), ("b.conv2", qblk.conv2)):
+            w = qm.org_weight.data.numpy()
+            b = qm.org_bias.data.numpy()
+            params[uname] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+            qp, raw_zp = Q.init_weight_qparams(
+                jnp.asarray(w.reshape(8, -1)), 4, False, True,
+                scale_method="max")
+            qstate[uname] = UnitQuant(wq=W.UniformWQ(qp=qp), aq=None,
+                                      alpha_out=jnp.ones(8),
+                                      beta_out=jnp.zeros(8), raw_zp=raw_zp)
+        cin = jnp.asarray(inp.numpy().transpose(0, 2, 3, 1))      # NHWC
+        cout = jnp.asarray(out_fp.numpy().transpose(0, 2, 3, 1))
+        s = ReconSettings(mode="fused", iters=iters, batch_size=bs,
+                          lmda_r=lmda[0], lmda_s=lmda[1],
+                          shift_targets=sts)
+        qs2, metrics = reconstruct_node(graph, params, qstate, "b", cin,
+                                        cout, s, jax.random.PRNGKey(3))
+
+        # loss curves agree step for step (f32 drift tolerance)
+        mine = np.asarray(metrics["rec_trace"])
+        theirs = np.asarray(traj_ref[:iters])
+        np.testing.assert_allclose(mine, theirs, rtol=2e-2, atol=1e-4)
+        # early steps are near-exact (drift hasn't accumulated)
+        np.testing.assert_allclose(mine[:10], theirs[:10], rtol=1e-4)
+        # soft/hard flip losses (reference rec_loss_out = [soft, hard])
+        np.testing.assert_allclose(float(metrics["soft_loss"]), soft_hard[0],
+                                   rtol=2e-2)
+        np.testing.assert_allclose(float(metrics["hard_loss"]), soft_hard[1],
+                                   rtol=2e-2)
+        # hardened selections agree
+        for uname, qm in (("b.conv1", qblk.conv1), ("b.conv2", qblk.conv2)):
+            sel_ref = qm.weight_quantizer.get_sig_soft_targets() \
+                .detach().numpy().argmax(-1)
+            sel_my = np.asarray(
+                jnp.argmax(qs2[uname].wq.soft_targets(), axis=-1))
+            agree = (sel_ref == sel_my).mean()
+            assert agree >= 0.98, f"{uname}: selection agreement {agree}"
+
     def test_none_mode_forward(self, ref, wdata):
         """ChannelQuant opt_mode='none' (plain round at delta*shiftedScale,
         channelQuant.py:79-94) equals UniformWQ at the base delta."""

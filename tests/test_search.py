@@ -28,6 +28,27 @@ class TestWeightGreedy:
         assert np.isclose(float(loss), err.min(0).sum(), rtol=1e-5)
 
 
+class TestDistSelection:
+    def test_matches_reference_rule(self):
+        """run_layerDist brute force (quant_layer.py:361-405): per-pair L2
+        argmin over effective steps delta / qParam[k], qParam = (1.0, 0.5)."""
+        rng = np.random.default_rng(2)
+        w = jnp.asarray(rng.normal(size=(5, 3, 3, 3)).astype(np.float32))
+        qp = make_qp(np.asarray(w))
+        sel, _ = S.dist_selection(qp, w)
+        wn = np.asarray(w)
+        delta = np.asarray(qp.delta).reshape(5, 1, 1, 1)
+        zp = np.asarray(qp.zero_point).reshape(5, 1, 1, 1)
+        losses = []
+        for q in (1.0, 0.5):
+            step = delta / q
+            xq = np.clip(np.round(wn / step) + zp, 0, 2 ** 4 - 1)
+            deq = (xq - zp) * step
+            losses.append((np.abs(deq - wn) ** 2).reshape(5, 3, -1).sum(-1))
+        want = np.stack(losses).argmin(0)
+        np.testing.assert_array_equal(np.asarray(sel), want)
+
+
 class TestOutputGreedy:
     def test_linear_beats_all_base(self):
         rng = np.random.default_rng(1)
