@@ -260,14 +260,56 @@ def make_deploy_plan(graph: Graph, dparams: dict, act_steps: dict) -> dict:
 
 def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
                thin_channels: int = 128):
+    import os
+
     import numpy as np
     feed = _feeding_sites(graph, act_steps)
+    int8_sites = frozenset(
+        s for s in act_steps if _site_fits_int8_concrete(act_steps[s]))
+    # 8-bit unsigned sites (zp==0): transport as biased (q-128) int8 codes
+    biased_sites = frozenset(
+        s for s in act_steps
+        if s not in int8_sites
+        and act_steps[s][2] == 8
+        and float(np.asarray(act_steps[s][1]).reshape(-1)[0]) == 0.0)
+    # fused Pallas stem (ops/pallas/stem.py): 7x7/s2/p3 relu conv on the
+    # raw image followed by a 3x3/s2/p1 maxpool, with the unit's own act
+    # site available for the fused requantize. The kernel emits int8 codes,
+    # so the stem's own site must fit int8 transport (centered or biased).
+    # SSQ_STEM_KERNEL=0 disables.
+    use_stem_kernel = os.environ.get("SSQ_STEM_KERNEL", "1") != "0"
+    use_dw_kernel = os.environ.get("SSQ_DW_KERNEL", "1") != "0"
+    nodes = list(graph)
+    stem_unit = None
+    if use_stem_kernel and len(nodes) >= 2:
+        # the stem pattern can only open the graph
+        nd, nxt = nodes[0], nodes[1]
+        if (isinstance(nd, UnitSpec) and nd.kind == "conv"
+                and nd.kernel == (7, 7) and nd.stride == (2, 2)
+                and nd.padding == (3, 3) and nd.groups == 1
+                and nd.in_ch == 3 and nd.activation == "relu"
+                and nd.name in act_steps
+                and (nd.name in int8_sites or nd.name in biased_sites)
+                and isinstance(nxt, OpSpec) and nxt.op == "maxpool"
+                and nxt.window == (3, 3) and nxt.stride == (2, 2)
+                and nxt.padding == (1, 1)):
+            stem_unit = nd.name
     plan = {}
     for u in iter_units(graph):
         d = dparams[u.name]
         site = feed[u.name]
         kind = "float"
         thin = min(u.out_ch, u.in_ch // u.groups) < thin_channels
+        # fused VPU depthwise kernel: feed codes AND the unit's own output
+        # codes must both fit centered int8 (the kernel reads/writes int8)
+        if (use_dw_kernel and d.w_int is not None and u.kind == "conv"
+                and u.groups == u.in_ch == u.out_ch
+                and u.kernel == (3, 3) and u.padding == (1, 1)
+                and u.stride[0] == u.stride[1] and u.stride[0] in (1, 2)
+                and site in int8_sites and u.name in int8_sites
+                and d.w_groups is None):
+            plan[u.name] = ("dw_int8", site)
+            continue
         if d.w_int is not None and site is not None:
             delta, zp, n_bits = act_steps[site]
             zpv = float(np.asarray(zp).reshape(-1)[0])
@@ -287,15 +329,12 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
                 and u.kernel == (7, 7) and u.stride == (2, 2)
                 and u.padding == (3, 3) and u.groups == 1):
             kind = "float_s2d"
+        if u.name == stem_unit and kind == "float" and site is None:
+            kind = "stem_fused"
         plan[u.name] = (kind, site)
-    plan["__int8_sites__"] = frozenset(
-        s for s in act_steps if _site_fits_int8_concrete(act_steps[s]))
-    # 8-bit unsigned sites (zp==0): transport as biased (q-128) int8 codes
-    plan["__biased_sites__"] = frozenset(
-        s for s in act_steps
-        if s not in plan["__int8_sites__"]
-        and act_steps[s][2] == 8
-        and float(np.asarray(act_steps[s][1]).reshape(-1)[0]) == 0.0)
+    plan["__fused_stem__"] = stem_unit
+    plan["__int8_sites__"] = int8_sites
+    plan["__biased_sites__"] = biased_sites
     return plan
 
 
@@ -344,6 +383,12 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
         plan = make_deploy_plan(graph, dparams, act_steps)
     _int8_sites = plan["__int8_sites__"]
     _biased_sites = plan.get("__biased_sites__", frozenset())
+    stem_name = plan.get("__fused_stem__")
+    stem_ok = (stem_name is not None and x.ndim == 4
+               and x.shape[1] == x.shape[2] and x.shape[1] % 8 == 0)
+    # Pallas TPU kernels run in interpret mode on other backends (CPU
+    # tests); the plan itself is platform-independent.
+    interp = jax.default_backend() != "tpu"
 
     def to_float(v):
         kind, t, site = v
@@ -356,6 +401,8 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
 
     def quantize_out(t_float, site):
         """Producer-side quantization onto the site grid."""
+        if isinstance(t_float, tuple):
+            return t_float          # fused kernel already quantized
         st = act_steps.get(site)
         if st is None:
             return ("f32", t_float, None)
@@ -380,6 +427,40 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
         d = dparams[spec.name]
         kind_plan, feed_site = plan[spec.name]
         vkind, t, vsite = v
+        if kind_plan == "stem_fused" and not stem_ok:
+            kind_plan = "float"       # kernel needs square, 8-aligned input
+        if kind_plan == "stem_fused":
+            xf = to_float(v)
+            # one-kernel conv+relu+quant+maxpool (ops/pallas/stem.py); the
+            # following maxpool OpSpec is skipped by the walk below
+            from .ops.pallas.stem import stem_fused
+            delta, zp, n_bits = act_steps[spec.name]
+            zpv = float(jnp.reshape(zp, (-1,))[0]) if hasattr(zp, "shape") \
+                else float(zp)
+            biased = spec.name in _biased_sites
+            coff = 128.0 if biased else zpv
+            w_eff = d.w_int if d.w_int is not None else d.w_fp
+            codes = stem_fused(xf, w_eff.astype(jnp.float32), d.scale,
+                               d.bias, delta, zpv, 2.0 ** n_bits - 1, coff,
+                               interpret=interp)
+            return ("biased" if biased else "codes", codes, spec.name)
+        if kind_plan == "dw_int8":
+            # fused VPU depthwise conv + requant (ops/pallas/depthwise.py)
+            from .ops.pallas.depthwise import dw_conv3x3_int8
+            delta, zp, n_bits = act_steps[feed_site]
+            if vkind == "codes":
+                xi = t
+            else:
+                xi = _quant_centered(to_float(v), delta, zp, n_bits)
+            delta_o, zp_o, n_bits_o = act_steps[spec.name]
+            zov = float(jnp.reshape(zp_o, (-1,))[0]) \
+                if hasattr(zp_o, "shape") else float(zp_o)
+            out = dw_conv3x3_int8(
+                xi, d.w_int.reshape(spec.out_ch, 3, 3),
+                d.scale * delta, d.bias, delta_o, zov,
+                2.0 ** n_bits_o - 1, stride=spec.stride[0],
+                act=spec.activation or "none", interpret=interp)
+            return ("codes", out, spec.name)
         if kind_plan in ("int8", "int8_pair", "bf16_codes"):
             delta, zp, n_bits = act_steps[feed_site]
             if kind_plan == "bf16_codes":
@@ -436,39 +517,55 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                     * (d.scale * delta) + d.bias
         else:
             xf = to_float(v)
-            # weights are integer codes (int8 or f32): exactly
-            # bf16-representable, so Precision.HIGH (3-pass) only splits
-            # the activation — near-f32 accuracy at half the HIGHEST cost;
-            # delta applied in the epilogue
+            # Weights are integer codes (int8 or f32): EXACTLY
+            # bf16-representable (|centered| <= 255 < 2^8 mantissa), so the
+            # weight's bf16 low part is zero and Precision.HIGH's 3-pass
+            # split (x_hi*w_hi + x_hi*w_lo + x_lo*w_hi) wastes a full pass
+            # on w_lo == 0. Manual 2-pass: x = x_hi + x_lo with only the
+            # ACTIVATION split — numerically identical to HIGH for exact-
+            # bf16 weights (~2^-18 relative) at 2/3 the MXU cost. The stem
+            # conv (3-ch, the single biggest deficit on ResNet-18 —
+            # BENCHMARKS.md per-segment table) runs here.
             w_eff = (d.w_int if d.w_int is not None else d.w_fp
                      ).astype(jnp.float32)
             sc = d.scale
-            prec = jax.lax.Precision.HIGH
             if kind_plan == "float_s2d":
-                xs = space_to_depth(xf)
-                ws = s2d_kernel(w_eff)
-                out = jax.lax.conv_general_dilated(
-                    xs, jnp.transpose(ws, (2, 3, 1, 0)),
-                    window_strides=(1, 1), padding=((2, 1), (2, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=xs.dtype,
-                    precision=prec).astype(jnp.float32)
-            elif spec.kind == "conv":
-                out = conv2d(xf, w_eff, None, spec.stride, spec.padding,
-                             spec.groups, precision=prec).astype(jnp.float32)
-            else:
-                out = jnp.matmul(xf, w_eff.T,
-                                 precision=prec).astype(jnp.float32)
+                xf = space_to_depth(xf)
+                w_eff = s2d_kernel(w_eff)
+
+            x_hi = xf.astype(jnp.bfloat16)
+            x_lo = (xf - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            w_b = w_eff.astype(jnp.bfloat16)
+
+            def _pass(xb):
+                if kind_plan == "float_s2d":
+                    return jax.lax.conv_general_dilated(
+                        xb, jnp.transpose(w_b, (2, 3, 1, 0)),
+                        window_strides=(1, 1), padding=((2, 1), (2, 1)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.float32)
+                if spec.kind == "conv":
+                    return conv2d(xb, w_b, None, spec.stride, spec.padding,
+                                  spec.groups,
+                                  preferred_element_type=jnp.float32)
+                return jax.lax.dot_general(
+                    xb, w_b.T, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            out = _pass(x_hi) + _pass(x_lo)
             if sc is not None:
                 out = out * sc
             out = out + d.bias
         return _activation(spec.activation, out)
 
     v = ("f32", x, None)
+    pooled_by_stem = False
     for node in graph:
         if isinstance(node, OpSpec):
             kind, t, site = v
-            if node.op == "maxpool":
+            if node.op == "maxpool" and pooled_by_stem:
+                pooled_by_stem = False   # stem kernel already pooled
+            elif node.op == "maxpool":
                 # monotonic: pool codes directly (int8) or floats
                 if kind in ("codes", "biased"):
                     pads = ((0, 0), (node.padding[0], node.padding[0]),
@@ -486,6 +583,8 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                 v = ("f32", to_float(v).reshape(t.shape[0], -1), None)
         elif isinstance(node, UnitSpec):
             v = quantize_out(run_unit(node, v), node.name)
+            if node.name == stem_name and stem_ok:
+                pooled_by_stem = True
         else:  # BlockSpec
             residual_f = None
             if node.residual:

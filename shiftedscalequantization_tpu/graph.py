@@ -185,12 +185,15 @@ def _activation(name: Optional[str], x):
     raise ValueError(f"unknown activation {name}")
 
 
-def conv2d(x_nhwc, w_oihw, b, stride, padding, groups, precision=None):
+def conv2d(x_nhwc, w_oihw, b, stride, padding, groups, precision=None,
+           preferred_element_type=None):
     """NHWC conv with torch-layout weights (transposed to HWIO at the call).
 
     ``precision``: pass jax.lax.Precision.HIGHEST where f32 fidelity matters
     on TPU (whose DEFAULT f32 convs run reduced-precision bf16 passes) —
     e.g. the deploy path's head/stem fallback feeding 4-bit quantizers.
+    ``preferred_element_type``: accumulator dtype (e.g. f32 for bf16
+    operands on the deploy 2-pass split path); defaults to the input dtype.
     """
     w = jnp.transpose(w_oihw, (2, 3, 1, 0))  # OIHW -> HWIO
     pad = ((padding[0], padding[0]), (padding[1], padding[1]))
@@ -198,7 +201,7 @@ def conv2d(x_nhwc, w_oihw, b, stride, padding, groups, precision=None):
         x_nhwc, w, window_strides=stride, padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=x_nhwc.dtype,
+        preferred_element_type=preferred_element_type or x_nhwc.dtype,
         precision=precision)
     if b is not None:
         out = out + b
