@@ -50,6 +50,12 @@ class DeployUnit:
     # out = sum_s int_conv(x, w_groups[s]) * group_scales[s]
     w_groups: Optional[jax.Array] = None      # (S, ...) int8 masked codes
     group_scales: Optional[jax.Array] = None  # (S, OC) f32
+    # sub-byte packed form (fc / 1x1 convs at W2/W4): raw codes packed
+    # 16/8-per-int32 (ops/pallas/packed.py) for the memory-bound serving
+    # regime — 4x/2x less weight HBM traffic than int8 codes
+    w_packed: Optional[jax.Array] = None      # (ceil(K/f), OC) int32
+    w_pack_zp: Optional[jax.Array] = None     # (OC,) weight zero points
+    w_pack_bits: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 def _hard_weight_codes(wq, w):
@@ -121,9 +127,28 @@ def build_deploy_params(graph: Graph, params, qstate,
                 scale=scale_oc * a_out, bias=b * a_out + b_out,
                 w_groups=groups, group_scales=gscales)
         elif cmax <= 127:
-            out[u.name] = DeployUnit(
+            du = DeployUnit(
                 w_int=centered.astype(jnp.int8), w_fp=None,
                 scale=scale_oc * a_out, bias=b * a_out + b_out)
+            # sub-byte packed form for fc / 1x1 convs at W2/W4 (SSQ_PACKED
+            # deploy plan kind): raw codes in [0, 2^bits) packed K-major
+            n_bits_w = uq.wq.qp.n_bits
+            flat_1x1 = (u.kind == "linear"
+                        or (u.kind == "conv" and u.kernel == (1, 1)
+                            and u.groups == 1 and u.padding == (0, 0)))
+            if flat_1x1 and n_bits_w in (2, 4):
+                from .ops.pallas.packed import pack_codes
+                # raw = codes - qlo maps any clip range onto [0, 2^bits)
+                qlo = min(float(jnp.min(codes)), 0.0)
+                raw = (codes - qlo).astype(jnp.int32).reshape(u.out_ch, -1)
+                if float(jnp.max(raw)) < 2 ** n_bits_w:
+                    du = dataclasses.replace(
+                        du,
+                        w_packed=pack_codes(raw.T, n_bits_w),
+                        w_pack_zp=(jnp.reshape(zp, (-1,)) - qlo)
+                        .astype(jnp.float32),
+                        w_pack_bits=n_bits_w)
+            out[u.name] = du
         else:
             # 8-bit asym head/stem: keep exact integer codes in f32 and
             # fold delta into the epilogue scale (codes are
@@ -276,9 +301,16 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
     # raw image followed by a 3x3/s2/p1 maxpool, with the unit's own act
     # site available for the fused requantize. The kernel emits int8 codes,
     # so the stem's own site must fit int8 transport (centered or biased).
-    # SSQ_STEM_KERNEL=0 disables.
-    use_stem_kernel = os.environ.get("SSQ_STEM_KERNEL", "1") != "0"
+    # OFF by default: measured 8.6 ms/batch-256 on v5e vs ~2.8 ms for the
+    # XLA 2-pass bf16-split float path + fused quant + int8-code pool —
+    # per-group VPU overhead (band-assembly stores + f32 quant epilogue,
+    # ~590 cycles/group vs ~105 MXU cycles) dominates; see BENCHMARKS.md.
+    # SSQ_STEM_KERNEL=1 enables.
+    use_stem_kernel = os.environ.get("SSQ_STEM_KERNEL", "0") == "1"
     use_dw_kernel = os.environ.get("SSQ_DW_KERNEL", "1") != "0"
+    # packed sub-byte weights (4x/2x less weight HBM): a win only in the
+    # weight-bound serving regime (small batch), so opt-in via SSQ_PACKED=1
+    use_packed = os.environ.get("SSQ_PACKED", "0") == "1"
     nodes = list(graph)
     stem_unit = None
     if use_stem_kernel and len(nodes) >= 2:
@@ -309,6 +341,9 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
                 and site in int8_sites and u.name in int8_sites
                 and d.w_groups is None):
             plan[u.name] = ("dw_int8", site)
+            continue
+        if use_packed and d.w_packed is not None and site in int8_sites:
+            plan[u.name] = ("packed", site)
             continue
         if d.w_int is not None and site is not None:
             delta, zp, n_bits = act_steps[site]
@@ -435,10 +470,10 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             # following maxpool OpSpec is skipped by the walk below
             from .ops.pallas.stem import stem_fused
             delta, zp, n_bits = act_steps[spec.name]
-            zpv = float(jnp.reshape(zp, (-1,))[0]) if hasattr(zp, "shape") \
-                else float(zp)
+            # zp may be traced (deploy_forward under jit): keep it an array
+            zpv = jnp.reshape(jnp.asarray(zp, jnp.float32), (-1,))[0]
             biased = spec.name in _biased_sites
-            coff = 128.0 if biased else zpv
+            coff = jnp.float32(128.0) if biased else zpv
             w_eff = d.w_int if d.w_int is not None else d.w_fp
             codes = stem_fused(xf, w_eff.astype(jnp.float32), d.scale,
                                d.bias, delta, zpv, 2.0 ** n_bits - 1, coff,
@@ -453,8 +488,7 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             else:
                 xi = _quant_centered(to_float(v), delta, zp, n_bits)
             delta_o, zp_o, n_bits_o = act_steps[spec.name]
-            zov = float(jnp.reshape(zp_o, (-1,))[0]) \
-                if hasattr(zp_o, "shape") else float(zp_o)
+            zov = jnp.reshape(jnp.asarray(zp_o, jnp.float32), (-1,))[0]
             out = dw_conv3x3_int8(
                 xi, d.w_int.reshape(spec.out_ch, 3, 3),
                 d.scale * delta, d.bias, delta_o, zov,

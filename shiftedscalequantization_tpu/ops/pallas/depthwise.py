@@ -36,26 +36,33 @@ def _dw_kernel(x_ref, w_ref, sb_ref, qp_ref, out_ref, xp_ref, *,
                h, w, c, act):
     """One image. x (1,H,W,C) int8; w (9,C) f32 codes; sb (2,C) f32
     [scalef, biasf]; qp (1,3) SMEM [inv_delta_out, zp_out, qmax];
-    out (1,Ho,Wo,C) int8; scratch xp (H+2,W+2,C) f32."""
+    out (1,Ho,Wo,C) int8; scratch xp (H+2,W+2,C) f32.
+
+    The MAC/epilogue runs in row chunks: a full-plane (H, W, C) f32
+    vector value spills the VMEM stack at real shapes (112x112x32 padded
+    to 128 lanes is 6.4 MB per live temporary — Mosaic OOMs), while an
+    8-row chunk keeps every live vector under ~0.5 MB."""
     xp_ref[...] = jnp.zeros((h + 2, w + 2, c), jnp.float32)
     xp_ref[1:h + 1, 1:w + 1, :] = x_ref[0].astype(jnp.float32)
 
-    acc = xp_ref[0:h, 0:w, :] * w_ref[0]
-    for k in range(1, 9):
-        di, dj = divmod(k, 3)
-        acc += xp_ref[di:di + h, dj:dj + w, :] * w_ref[k]
-
-    y = acc * sb_ref[0] + sb_ref[1]
-    if act == "relu":
-        y = jnp.maximum(y, 0.0)
-    elif act == "relu6":
-        y = jnp.clip(y, 0.0, 6.0)
-    # requantize onto the unit's own act grid; plain division (CLAUDE.md:
-    # pl.reciprocal on SMEM scalars miscompiles)
-    q = jnp.clip(jnp.round(y * qp_ref[0, 0]) + qp_ref[0, 1], 0.0,
-                 qp_ref[0, 2])
-    codes = q - qp_ref[0, 1]
-    out_ref[0] = codes.astype(jnp.int8)
+    rc_full = min(8, h)
+    for r0 in range(0, h, rc_full):
+        rc = min(rc_full, h - r0)
+        acc = xp_ref[r0:r0 + rc, 0:w, :] * w_ref[0]
+        for k in range(1, 9):
+            di, dj = divmod(k, 3)
+            acc += xp_ref[r0 + di:r0 + di + rc, dj:dj + w, :] * w_ref[k]
+        y = acc * sb_ref[0] + sb_ref[1]
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif act == "relu6":
+            y = jnp.clip(y, 0.0, 6.0)
+        # requantize onto the unit's own act grid; plain division
+        # (CLAUDE.md: pl.reciprocal on SMEM scalars miscompiles)
+        q = jnp.clip(jnp.round(y * qp_ref[0, 0]) + qp_ref[0, 1], 0.0,
+                     qp_ref[0, 2])
+        codes = q - qp_ref[0, 1]
+        out_ref[0, r0:r0 + rc] = codes.astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "act", "interpret"))

@@ -22,8 +22,9 @@ parity planes, every im2col patch element for output column wo = 4g+t is
     Z_parity[j + kh//2, 24*g + (6*t + 3*kw + c)]
 
 — plain contiguous (row, lane) slices. Each group of 4 output columns is
-then ONE (112, 273) x (273, 256) MXU matmul against a banded weight
-matrix built offline from the integer weight codes (exactly
+then ONE (112, 384) x (384, 256) MXU matmul (K zero-padded to 3x128)
+against a banded weight matrix built offline from the integer weight
+codes (exactly
 bf16-representable, so the 2-pass split of the activation alone
 reproduces Precision.HIGH accuracy — see deploy.py).
 
@@ -42,10 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def build_stem_weights(w_codes_o3hw: jax.Array) -> jax.Array:
-    """(64, 3, 7, 7) integer weight codes -> banded (273, 256) bf16 matrix.
+    """(64, 3, 7, 7) integer weight codes -> banded (384, 256) bf16 matrix.
 
     Row index: kh*39 + 6*t + 3*kw + c  (t = wo % 4, the position inside a
     4-column output group). Column index: t*64 + oc. Zero elsewhere.
+    Rows 273..383 are zero padding so the contraction dim is exactly
+    3x128 MXU-aligned (the kernel's im2col scratch is (hc, 384)).
     """
     w = w_codes_o3hw.astype(jnp.float32)
     oc_n = w.shape[0]
@@ -54,18 +57,21 @@ def build_stem_weights(w_codes_o3hw: jax.Array) -> jax.Array:
     rows = np.array([kh * 39 + 3 * kw + c
                      for kh in range(7) for kw in range(7)
                      for c in range(3)])
-    wt = jnp.zeros((273, 4 * oc_n), jnp.float32)
+    wt = jnp.zeros((384, 4 * oc_n), jnp.float32)
     for t in range(4):
         wt = wt.at[rows + 6 * t, t * oc_n:(t + 1) * oc_n].set(wv)
     return wt.astype(jnp.bfloat16)
 
 
 def _stem_kernel(x_ref, wt_ref, sb_ref, qp_ref, out_ref, ze_ref, zo_ref,
-                 c_ref, *, h, w, oc):
-    """One image. x (1, H, W*3) f32; wt (273, 4*OC) bf16; sb (2, 4*OC) f32
+                 im_ref, im2_ref, cp_ref, pv_ref, *, h, w, oc):
+    """One image. x (1, H, W*3) f32; wt (384, 4*OC) bf16; sb (2, 4*OC) f32
     [scale, bias] tiled 4x; qp (1, 4) SMEM [inv_delta, zp, qmax,
-    center_off]; out (1, H//4, (H//4... W//4 * OC) int8.
-    Scratch: ze/zo (H//2 + 8, 3*W + 18) f32, c (H//2, W//2 * OC) int8."""
+    center_off]; out (1, H//4, (W//4) * OC) int8.
+    Scratch: ze/zo (H//2 + 8, 3*W + 18) f32, im (H//2, 384) f32 im2col
+    band, cp (H//2 + 2, (W//4)*OC) f32 column-pooled codes (row-padded
+    for the row pool), pv (H//2, OC) f32 carry of the previous conv
+    column across output groups."""
     hc = h // 2                      # conv output rows
     wc = w // 2                      # conv output cols
     lz = 3 * w + 18                  # padded lane width of Z planes
@@ -88,18 +94,40 @@ def _stem_kernel(x_ref, wt_ref, sb_ref, qp_ref, out_ref, ze_ref, zo_ref,
     bias = sb_ref[1]
 
     # unrolled over output-column groups: every slice below is STATIC, so
-    # Mosaic reads exactly the (hc, 39) windows the MXU consumes — no
-    # whole-plane materialization per tap
+    # Mosaic reads exactly the (hc, 39) windows the MXU consumes. The
+    # seven kh-bands are assembled in the im scratch via masked stores at
+    # static lane offsets (a direct lane-dim concatenate of unaligned
+    # 39-wide vectors is rejected by Mosaic: "result/input offset
+    # mismatch on non-concat dimension"); lanes 273..383 stay zero so the
+    # contraction is a single aligned (hc, 384) x (384, 4*OC) matmul.
+    im_ref[...] = jnp.zeros((hc, 384), jnp.float32)
+    im2_ref[...] = jnp.zeros((hc, 384), jnp.float32)
+    # 3x3/s2 maxpool columns are fused into the group loop. Conv cols
+    # 4g..4g+3 of group g are lane quarters Q0..Q3 of q below; pool col
+    # 2g needs conv cols (4g-1, 4g, 4g+1) = (prev group's Q3 carried in
+    # pv, Q0, Q1) and pool col 2g+1 needs (4g+1, 4g+2, 4g+3) =
+    # (Q1, Q2, Q3). Everything is offset slices + elementwise max +
+    # offset stores — Mosaic rejects lane-dim concatenates of unaligned
+    # vectors, so no shifted concats anywhere.
+    # pooling runs in f32 (Mosaic cannot legalize vector int8 maxsi);
+    # codes are small exact integers so f32 max is exact, and the single
+    # int8 cast happens at the final output store
+    pv_ref[...] = jnp.full((hc, oc), -128.0, jnp.float32)
+    cp_ref[0, :] = jnp.full(((wc // 2) * oc,), -128.0, jnp.float32)
+    cp_ref[hc + 1, :] = jnp.full(((wc // 2) * oc,), -128.0, jnp.float32)
     for g in range(wc // 4):
-        parts = []
+        # double-buffered im2col scratch: group g+1's band stores (VPU)
+        # have no WAR hazard on group g's matmul reads (MXU), so the two
+        # units overlap instead of serializing
+        buf = im_ref if g % 2 == 0 else im2_ref
         for kh in range(7):
             if kh % 2 == 0:
-                parts.append(ze_ref[kh // 2:kh // 2 + hc,
-                                    24 * g:24 * g + 39])
+                band = ze_ref[kh // 2:kh // 2 + hc, 24 * g:24 * g + 39]
             else:
-                parts.append(zo_ref[(kh - 1) // 2:(kh - 1) // 2 + hc,
-                                    24 * g:24 * g + 39])
-        s = jnp.concatenate(parts, axis=1)            # (hc, 273) f32
+                band = zo_ref[(kh - 1) // 2:(kh - 1) // 2 + hc,
+                              24 * g:24 * g + 39]
+            buf[:, 39 * kh:39 * kh + 39] = band
+        s = buf[:]                                    # (hc, 384) f32
         s_hi = s.astype(jnp.bfloat16)
         s_lo = (s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         acc = jax.lax.dot_general(
@@ -110,31 +138,23 @@ def _stem_kernel(x_ref, wt_ref, sb_ref, qp_ref, out_ref, ze_ref, zo_ref,
             preferred_element_type=jnp.float32)
         y = jnp.maximum(acc * scale + bias, 0.0)      # (hc, 4*OC)
         q = jnp.clip(jnp.round(y * inv_d) + zp, 0.0, qmax) - coff
-        c_ref[:, 4 * oc * g:4 * oc * (g + 1)] = q.astype(jnp.int8)
+        q0 = q[:, 0 * oc:1 * oc]
+        q1 = q[:, 1 * oc:2 * oc]
+        q2 = q[:, 2 * oc:3 * oc]
+        q3 = q[:, 3 * oc:4 * oc]
+        cp_ref[1:hc + 1, (2 * g) * oc:(2 * g + 1) * oc] = \
+            jnp.maximum(pv_ref[:], jnp.maximum(q0, q1))
+        cp_ref[1:hc + 1, (2 * g + 1) * oc:(2 * g + 2) * oc] = \
+            jnp.maximum(q1, jnp.maximum(q2, q3))
+        pv_ref[...] = q3
 
-    # 3x3/s2 maxpool on codes. Columns first, inside 128-lane-aligned
-    # views (Mosaic rejects lane reshapes to sub-128 widths): view C as
-    # (hc, wc/4, 4*OC) — conv cols 4u..4u+3 live in lane quarters
-    # L0..L3 of block u. Pool col q=2u needs conv cols (4u-1, 4u, 4u+1)
-    # = (prev L3, L0, L1); q=2u+1 needs (4u+1..4u+3) = (L1, L2, L3).
-    cw = c_ref[:].reshape(hc, wc // 4, 4 * oc)
-    l0 = cw[:, :, 0 * oc:1 * oc]
-    l1 = cw[:, :, 1 * oc:2 * oc]
-    l2 = cw[:, :, 2 * oc:3 * oc]
-    l3 = cw[:, :, 3 * oc:4 * oc]
-    negb = jnp.full((hc, 1, oc), -128, jnp.int8)
-    l3p = jnp.concatenate([negb, l3[:, :-1]], axis=1)
-    q_even = jnp.maximum(l3p, jnp.maximum(l0, l1))
-    q_odd = jnp.maximum(l1, jnp.maximum(l2, l3))
-    colp = jnp.concatenate([q_even, q_odd], axis=-1) \
-        .reshape(hc, (wc // 2) * oc)                  # (hc, pool_w*OC)
-    # Rows: D[r] = max(C[r-1], C[r], C[r+1]), keep even rows.
-    neg = jnp.full((1, (wc // 2) * oc), -128, jnp.int8)
-    up = jnp.concatenate([colp[1:], neg], axis=0)
-    dn = jnp.concatenate([neg, colp[:-1]], axis=0)
-    d = jnp.maximum(colp, jnp.maximum(up, dn)) \
-        .reshape(hc // 2, 2, (wc // 2) * oc)[:, 0, :]
-    out_ref[0] = d
+    # Rows: D[r] = max(C[r-1], C[r], C[r+1]) via row-shifted reads of the
+    # padded cp scratch (sublane offsets), keep even rows (free
+    # leading-dim reshape + index).
+    m = jnp.maximum(cp_ref[1:hc + 1, :],
+                    jnp.maximum(cp_ref[0:hc, :], cp_ref[2:hc + 2, :]))
+    out_ref[0] = m.reshape(hc // 2, 2, (wc // 2) * oc)[:, 0, :] \
+        .astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -167,7 +187,7 @@ def stem_fused(x_nhwc, w_codes, scale_oc, bias_oc, out_delta, out_zp,
         in_specs=[
             pl.BlockSpec((1, h, w * 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((273, 4 * oc), lambda i: (0, 0),
+            pl.BlockSpec((384, 4 * oc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 4 * oc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -182,7 +202,10 @@ def stem_fused(x_nhwc, w_codes, scale_oc, bias_oc, out_delta, out_zp,
         scratch_shapes=[
             pltpu.VMEM((h // 2 + 8, 3 * w + 18), jnp.float32),
             pltpu.VMEM((h // 2 + 8, 3 * w + 18), jnp.float32),
-            pltpu.VMEM((h // 2, (w // 2) * oc), jnp.int8),
+            pltpu.VMEM((h // 2, 384), jnp.float32),
+            pltpu.VMEM((h // 2, 384), jnp.float32),
+            pltpu.VMEM((h // 2 + 2, (w // 4) * oc), jnp.float32),
+            pltpu.VMEM((h // 2, oc), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * (h // 2) * (w // 2) * oc * 147,

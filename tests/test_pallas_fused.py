@@ -116,9 +116,11 @@ def _build(arch, nbw, nba, hw):
 
 
 class TestDeployIntegration:
-    def test_resnet18_imagenet_stem_fused(self):
-        """ImageNet-variant ResNet-18: the plan picks the fused stem kernel
-        and deploy still agrees with sim mode."""
+    def test_resnet18_imagenet_stem_fused(self, monkeypatch):
+        """ImageNet-variant ResNet-18: with SSQ_STEM_KERNEL=1 (opt-in; the
+        XLA 2-pass float path measures faster on v5e) the plan picks the
+        fused stem kernel and deploy still agrees with sim mode."""
+        monkeypatch.setenv("SSQ_STEM_KERNEL", "1")
         graph, params, qstate, x, flags = _build("resnet18", 4, 4, 64)
         dparams = deploy.build_deploy_params(graph, params, qstate)
         steps = deploy.act_steps_from_qstate(graph, qstate)
@@ -133,7 +135,23 @@ class TestDeployIntegration:
         rel = np.abs(sim - dep).mean() / (np.abs(sim).mean() + 1e-9)
         assert rel < 0.2, rel
 
-    def test_stem_falls_back_on_nonsquare_input(self):
+    def test_deploy_forward_jits_with_fused_kernels(self, monkeypatch):
+        """bench.py wraps deploy_forward in jit: act steps become tracers,
+        so the fused-kernel paths must not concretize them."""
+        monkeypatch.setenv("SSQ_STEM_KERNEL", "1")
+        graph, params, qstate, x, flags = _build("resnet18", 4, 4, 64)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        plan = deploy.make_deploy_plan(graph, dparams, steps)
+        assert plan["__fused_stem__"] is not None
+        eager = deploy.deploy_forward(graph, dparams, steps, x, plan=plan)
+        jitted = jax.jit(lambda s, xi: deploy.deploy_forward(
+            graph, dparams, s, xi, plan=plan))(steps, x)
+        np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_stem_falls_back_on_nonsquare_input(self, monkeypatch):
+        monkeypatch.setenv("SSQ_STEM_KERNEL", "1")
         graph, params, qstate, x, flags = _build("resnet18", 4, 4, 64)
         dparams = deploy.build_deploy_params(graph, params, qstate)
         steps = deploy.act_steps_from_qstate(graph, qstate)
