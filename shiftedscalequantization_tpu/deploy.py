@@ -307,10 +307,21 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
     # ~590 cycles/group vs ~105 MXU cycles) dominates; see BENCHMARKS.md.
     # SSQ_STEM_KERNEL=1 enables.
     use_stem_kernel = os.environ.get("SSQ_STEM_KERNEL", "0") == "1"
-    use_dw_kernel = os.environ.get("SSQ_DW_KERNEL", "1") != "0"
+    # OFF by default: the row-chunked VPU kernel compiles at every
+    # MobileNetV2 shape but measures ~8x slower than the XLA bf16-codes
+    # path at batch 256 (52 vs 11 ms/batch whole-net; per-image grid +
+    # f32 plane MACs are far from VPU peak). SSQ_DW_KERNEL=1 enables.
+    use_dw_kernel = os.environ.get("SSQ_DW_KERNEL", "0") == "1"
     # packed sub-byte weights (4x/2x less weight HBM): a win only in the
     # weight-bound serving regime (small batch), so opt-in via SSQ_PACKED=1
     use_packed = os.environ.get("SSQ_PACKED", "0") == "1"
+    # single-pass bf16 stem (default): weights are integer codes
+    # (bf16-exact), so dropping the x_lo correction pass only rounds the
+    # activation at ~2^-9 relative — measured bit-identical final logits
+    # vs the exact split on ResNet-18 W2A4 (the stem's own act requant
+    # absorbs the rounding; stem_drift_check.py). SSQ_STEM_1PASS=0
+    # restores the exact 2-pass split.
+    stem_1pass = os.environ.get("SSQ_STEM_1PASS", "1") != "0"
     nodes = list(graph)
     stem_unit = None
     if use_stem_kernel and len(nodes) >= 2:
@@ -366,6 +377,9 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
             kind = "float_s2d"
         if u.name == stem_unit and kind == "float" and site is None:
             kind = "stem_fused"
+        if stem_1pass and kind == "float" and u.kind == "conv" \
+                and u.in_ch <= 4:
+            kind = "float_1p"
         plan[u.name] = (kind, site)
     plan["__fused_stem__"] = stem_unit
     plan["__int8_sites__"] = int8_sites
@@ -586,7 +600,13 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                     xb, w_b.T, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-            out = _pass(x_hi) + _pass(x_lo)
+            if kind_plan == "float_1p":
+                # stem fast mode: integer-code weights are bf16-exact, so
+                # the single bf16 pass only rounds the activation (~2^-9
+                # rel); measured logit drift is recorded in BENCHMARKS.md
+                out = _pass(x_hi)
+            else:
+                out = _pass(x_hi) + _pass(x_lo)
             if sc is not None:
                 out = out * sc
             out = out + d.bias
