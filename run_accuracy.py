@@ -1,0 +1,236 @@
+"""End-to-end accuracy harness: trained weights -> full PTQ pipeline.
+
+Produces ACCURACY.md: the FP -> quant-init -> per-layer-recon -> final
+top-1 trajectory (the reference's validation story,
+/root/reference/ShiftedScaantQuant trajectory prints at
+ShiftedScaleQuant.py:274-276 and the README table at README.md:20-27),
+on genuinely TRAINED models. No dataset mounts exist in this
+environment, so models are trained on-device (see train.py /
+data/realdata.py: sklearn digits = real handwritten images; synth10 =
+procedural shapes where class identity requires learned invariances).
+
+Also evaluates the true-int deploy path (both stem modes) on the
+hardened state, closing the loop on deploy==sim with trained weights.
+
+Usage: python run_accuracy.py [--platform cpu|tpu] [--iters N]
+       [--quick] (tiny iters smoke run, no ACCURACY.md write)
+"""
+import argparse
+import contextlib
+import io
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+ap.add_argument("--iters", type=int, default=600)
+ap.add_argument("--iters_a", type=int, default=300)
+ap.add_argument("--quick", action="store_true")
+ap.add_argument("--only", default=None,
+                help="comma list of dataset:mode:WxAy filters, e.g. "
+                     "'synth10:fused:W2A4,digits:fused:W2A4'")
+ap.add_argument("--out", default="ACCURACY.md")
+A = ap.parse_args()
+
+if A.platform == "cpu":
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+if A.platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    cache = "/tmp/jax_cache_cpu"
+else:
+    cache = "/tmp/jax_cache_axon"
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+
+from shiftedscalequantization_tpu import cli  # noqa: E402
+
+if A.quick:
+    A.iters, A.iters_a = 4, 4
+
+CKPTS = {"synth10": "trained_resnet18_synth10.npz",
+         "digits": "trained_resnet18_digits.npz"}
+
+
+def ensure_trained(dataset: str) -> str:
+    path = CKPTS[dataset]
+    if not os.path.exists(path):
+        from shiftedscalequantization_tpu.train import main as train_main
+        steps = "200" if A.quick else "4000"
+        print(f"[train] {dataset}: {steps} steps on-device")
+        train_main(["--dataset", dataset, "--steps", steps,
+                    "--batch_size", "128", "--out", path])
+    return path
+
+
+RUNS = [
+    # (dataset, mode, n_bits_w, n_bits_a, extra_flags)
+    ("synth10", "fused", 2, 4, []),
+    ("synth10", "fused", 4, 4, []),
+    ("synth10", "brecq", 2, 4, []),
+    ("digits", "fused", 2, 4, []),
+]
+if A.quick:
+    RUNS = RUNS[:1]
+if A.only:
+    keys = set(A.only.split(","))
+    RUNS = [r for r in RUNS
+            if f"{r[0]}:{r[1]}:W{r[2]}A{r[3]}" in keys]
+
+
+def run_one(dataset, mode, nbw, nba, extra):
+    ck = ensure_trained(dataset)
+    argv = ["--dataset", dataset, "--arch", "resnet18",
+            "--pretrained", ck, "--mode", mode,
+            "--n_bits_w", str(nbw), "--n_bits_a", str(nba),
+            "--iters_w", str(A.iters), "--iters_a", str(A.iters_a),
+            "--num_samples", "256", "--batch_size", "64",
+            "--checkpoint_dir", f"./checkPoint/acc_{dataset}_{mode}",
+            "--log_path", f"/tmp/acc_{dataset}_{mode}_W{nbw}A{nba}.log",
+            ] + extra
+    buf = io.StringIO()
+
+    class Tee(io.TextIOBase):
+        def write(self, s):
+            buf.write(s)
+            sys.__stdout__.write(s)
+            return len(s)
+
+    t0 = time.time()
+    with contextlib.redirect_stdout(Tee()):
+        final = cli.main(argv)
+    out = buf.getvalue()
+
+    def grab(pat):
+        m = re.findall(pat, out)
+        return m
+
+    fp = grab(r"accuracy of FP model: \{'top1': ([\d.]+)")
+    init = grab(r"accuracy of qnn \(with cal\.\): \{'top1': ([\d.]+)")
+    traj = re.findall(
+        r"accuracy of qnn_hard (\S+): \{'top1': ([\d.]+)", out)
+    return {
+        "dataset": dataset, "mode": mode, "bits": f"W{nbw}A{nba}",
+        "fp_top1": float(fp[0]) if fp else None,
+        "init_top1": float(init[0]) if init else None,
+        "trajectory": [(n, float(a)) for n, a in traj],
+        "final": final, "wall_s": round(time.time() - t0, 1),
+    }
+
+
+def deploy_eval(dataset, nbw, nba, mode):
+    """Top-1 of the true-int deploy path on the hardened state, for both
+    stem modes (stem 1-pass default vs exact 2-pass)."""
+    import jax.numpy as jnp
+
+    import shiftedscalequantization_tpu as ssq
+    from shiftedscalequantization_tpu import deploy
+    from shiftedscalequantization_tpu.models import zoo
+    from shiftedscalequantization_tpu.quantize import act_flags
+    from shiftedscalequantization_tpu.train import load_raw_params
+    from shiftedscalequantization_tpu.utils import checkpoint as ckpt
+
+    graph, _ = zoo.build("resnet18", dataset=dataset)
+    raw = load_raw_params(CKPTS[dataset])
+    cfg = ssq.QuantConfig(n_bits_w=nbw, n_bits_a=nba)
+    params, _ = ssq.prepare_model(graph, raw, cfg)
+    qstate, _ = ckpt.load_qstate(
+        f"./checkPoint/acc_{dataset}_{mode}/QNN_W{nbw}_A{nba}")
+    if dataset == "digits":
+        from shiftedscalequantization_tpu.data.realdata import digits_arrays
+        _, _, x_te, y_te = digits_arrays()
+    else:
+        from shiftedscalequantization_tpu.data.realdata import \
+            synth10_test_arrays
+        x_te, y_te = synth10_test_arrays()
+    flags = act_flags(graph, cfg, base=ssq.Flags().all_weights(graph))
+    dparams = deploy.build_deploy_params(graph, params, qstate)
+    steps = deploy.act_steps_from_qstate(graph, qstate)
+
+    accs = {}
+    sim_fn = jax.jit(lambda x: ssq.forward(graph, params, qstate, x, flags))
+    accs["sim"] = top1(sim_fn, x_te, y_te)
+    for mode_env in ("0", "1"):
+        os.environ["SSQ_STEM_1PASS"] = mode_env
+        plan = deploy.make_deploy_plan(graph, dparams, steps)
+        fn = jax.jit(lambda x, p=plan: deploy.deploy_forward(
+            graph, dparams, steps, x, plan=p))
+        accs["deploy_2pass" if mode_env == "0" else "deploy_1pass"] = \
+            top1(fn, x_te, y_te)
+    os.environ.pop("SSQ_STEM_1PASS", None)
+    return accs
+
+
+def top1(fn, x_te, y_te, bs=256):
+    import jax.numpy as jnp
+    good = tot = 0
+    for i in range(0, len(x_te), bs):
+        xb = jnp.asarray(x_te[i:i + bs])
+        yb = np.asarray(y_te[i:i + bs])
+        pred = np.asarray(jnp.argmax(fn(xb), -1))
+        good += int((pred == yb).sum())
+        tot += len(yb)
+    return round(100.0 * good / tot, 3)
+
+
+results = []
+for r in RUNS:
+    print(f"\n===== {r} =====")
+    res = run_one(*r)
+    print(json.dumps(res, default=str))
+    results.append(res)
+
+dep = None
+if not A.quick:
+    dep = deploy_eval("synth10", 2, 4, "fused")
+    print("deploy eval:", dep)
+
+if A.quick:
+    print("QUICK OK")
+    sys.exit(0)
+
+lines = [
+    "# Accuracy: trained weights through the full PTQ pipeline",
+    "",
+    f"ResNet-18 (CIFAR variant) trained on-device (train.py), then the",
+    f"full shifted-scale pipeline (cli.py). iters_w={A.iters},",
+    f"iters_a={A.iters_a}, 256 calibration samples, platform={A.platform}.",
+    "Reference story being mirrored: FP -> quant-init -> per-layer recon",
+    "trajectory -> final (ShiftedScaleQuant.py:263-278, README.md:20-27).",
+    "",
+    "| dataset | mode | bits | FP top-1 | quant-init | final | recovery |",
+    "|---|---|---|---|---|---|---|",
+]
+for r in results:
+    fin = r["final"]["top1"] if isinstance(r["final"], dict) else r["final"]
+    rec = (None if r["init_top1"] is None
+           else round(fin - r["init_top1"], 2))
+    lines.append(
+        f"| {r['dataset']} | {r['mode']} | {r['bits']} | {r['fp_top1']} | "
+        f"{r['init_top1']} | {fin} | +{rec} |")
+lines += ["", "Per-layer trajectory (headline run, top-1 after hardening "
+          "each node):", ""]
+for r in results:
+    if r["trajectory"]:
+        lines.append(f"- **{r['dataset']} {r['mode']} {r['bits']}**: " +
+                     " -> ".join(f"{n.split('.')[-2]}.{n.split('.')[-1]} "
+                                 f"{a}" for n, a in r["trajectory"]))
+if dep:
+    lines += ["", "## True-int deploy parity on the hardened W2A4 state",
+              "",
+              f"sim {dep['sim']}% | deploy exact 2-pass stem "
+              f"{dep['deploy_2pass']}% | deploy 1-pass stem (serving "
+              f"default) {dep['deploy_1pass']}%", ""]
+with open(A.out, "w") as f:
+    f.write("\n".join(lines) + "\n")
+print(f"wrote {A.out}")
