@@ -394,8 +394,19 @@ def _site_fits_int8_concrete(st):
     return ((2 ** n_bits - 1) - zpv <= 127) and (-zpv >= -128)
 
 
+def _round_act(x):
+    """Activation-requant rounding: floor(x+0.5) (round-half-up).
+
+    XLA:TPU fuses floor into conv epilogues, while RoundNearestEven
+    breaks the fusion and costs ~+0.5 ms per MNV2 block at batch 256
+    (mnv2_block_probe.py). Differs from sim's jnp.round (half-to-even)
+    only on exact .5 ties — measure-zero on real-valued activation
+    grids. Weight conversion (build_deploy_params) keeps jnp.round."""
+    return jnp.floor(x + 0.5)
+
+
 def _quant_centered(x, delta, zp, n_bits):
-    q = jnp.clip(jnp.round(x / delta) + zp, 0, 2 ** n_bits - 1)
+    q = jnp.clip(_round_act(x / delta) + zp, 0, 2 ** n_bits - 1)
     return (q - zp).astype(jnp.int8)
 
 
@@ -460,9 +471,9 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             return ("codes", _quant_centered(t_float, delta, zp, n_bits),
                     site)
         if site in _biased_sites:
-            q = jnp.clip(jnp.round(t_float / delta), 0, 255)
+            q = jnp.clip(_round_act(t_float / delta), 0, 255)
             return ("biased", (q - 128).astype(jnp.int8), site)
-        q = jnp.clip(jnp.round(t_float / delta) + zp, 0, 2 ** n_bits - 1)
+        q = jnp.clip(_round_act(t_float / delta) + zp, 0, 2 ** n_bits - 1)
         return ("f32", (q - zp) * delta, None)
 
     def _int_acc(spec, xi, w_int):
@@ -519,7 +530,7 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                     # biased sites have zp==0, so centered == raw q = t+128
                     xc = (t.astype(jnp.float32) + 128.0).astype(jnp.bfloat16)
                 else:
-                    q = jnp.clip(jnp.round(t / delta) + zp,
+                    q = jnp.clip(_round_act(t / delta) + zp,
                                  0, 2 ** n_bits - 1) - zp
                     xc = q.astype(jnp.bfloat16)
 
@@ -547,7 +558,7 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                 if vkind == "biased":
                     q = t.astype(jnp.int32) + 128
                 else:
-                    q = jnp.clip(jnp.round(to_float(v) / delta), 0,
+                    q = jnp.clip(_round_act(to_float(v) / delta), 0,
                                  255).astype(jnp.int32)
                 hi = (q >> 4).astype(jnp.int8)
                 lo = (q & 15).astype(jnp.int8)

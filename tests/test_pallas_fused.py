@@ -160,9 +160,12 @@ class TestDeployIntegration:
         out = deploy.deploy_forward(graph, dparams, steps, xr, plan=plan)
         assert out.shape == (2, 10)
 
-    def test_mobilenetv2_dw_kernel_used(self):
-        """MobileNetV2: every 3x3 depthwise unit with int8-fitting grids
-        runs through the fused VPU kernel; deploy agrees with sim."""
+    def test_mobilenetv2_dw_kernel_used(self, monkeypatch):
+        """MobileNetV2 with SSQ_DW_KERNEL=1 (opt-in; the XLA bf16-codes
+        path measures faster at batch 256 — BENCHMARKS.md): every 3x3
+        depthwise unit with int8-fitting grids runs through the fused VPU
+        kernel; deploy agrees with sim."""
+        monkeypatch.setenv("SSQ_DW_KERNEL", "1")
         graph, params, qstate, x, flags = _build("mobilenetv2", 4, 4, 32)
         dparams = deploy.build_deploy_params(graph, params, qstate)
         steps = deploy.act_steps_from_qstate(graph, qstate)
@@ -176,3 +179,81 @@ class TestDeployIntegration:
         assert (sim.argmax(-1) == dep.argmax(-1)).mean() >= 0.75
         rel = np.abs(sim - dep).mean() / (np.abs(sim).mean() + 1e-9)
         assert rel < 0.2, rel
+
+
+class TestMBConvKernel:
+    """Fused inverted-residual kernel (ops/pallas/mbconv.py): bit-exact vs
+    the XLA floor-round block math it replaces. Measured SLOWER than XLA
+    on v5e (Mosaic's thin-K matmul lowering pays full 128-pad tile cost
+    where XLA runs partial tiles — BENCHMARKS.md), so it is not in the
+    deploy plan; the kernel + this parity test document the attempt."""
+
+    def _ref(self, x, we, wd, wp, Ae, Be, Ad, Bd, Ap, Bp, qp, H, W,
+             has_expand, has_residual):
+        import jax.numpy as jnp
+        xf = x.astype(jnp.float32)
+        hi_e, hi_d, r_s, lo_o, hi_o, _ = [float(v) for v in qp[0]]
+        if has_expand:
+            acc = jnp.einsum('bhwc,ce->bhwe', xf, we)
+            q1 = jnp.clip(jnp.floor(acc * Ae + Be), 0, hi_e)
+        else:
+            q1 = xf
+        q1p = jnp.pad(q1, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        accd = sum(q1p[:, di:di + H, dj:dj + W, :] * wd[di * 3 + dj]
+                   for di in range(3) for dj in range(3))
+        q2 = jnp.clip(jnp.floor(accd * Ad + Bd), 0, hi_d)
+        y = jnp.einsum('bhwe,eo->bhwo', q2, wp) * Ap + Bp
+        if has_residual:
+            y = y + xf * r_s
+        return jnp.clip(jnp.floor(y), lo_o, hi_o).astype(jnp.int8)
+
+    def test_exact_vs_reference_math(self):
+        import jax.numpy as jnp
+        from shiftedscalequantization_tpu.ops.pallas.mbconv import \
+            mbconv_fused
+        rng = np.random.default_rng(0)
+        B, H, W, CI, CE, CO = 2, 16, 16, 8, 48, 8
+        x = jnp.asarray(rng.integers(-8, 8, (B, H, W, CI)), jnp.int8)
+        we = rng.integers(-2, 2, (CI, CE)).astype(np.float32)
+        wd = rng.integers(-2, 2, (9, CE)).astype(np.float32)
+        wp = rng.integers(-2, 2, (CE, CO)).astype(np.float32)
+        Ae, Ad = (rng.uniform(0.01, 0.1, CE).astype(np.float32)
+                  for _ in range(2))
+        Ap = rng.uniform(0.01, 0.1, CO).astype(np.float32)
+        Be, Bd = (rng.uniform(-1, 1, CE).astype(np.float32) + 0.5
+                  for _ in range(2))
+        Bp = rng.uniform(-1, 1, CO).astype(np.float32) + 0.5
+        qp = jnp.asarray([[15.0, 15.0, 0.37, -8.0, 7.0, 0.0]], jnp.float32)
+        out = mbconv_fused(x, jnp.asarray(we, jnp.bfloat16),
+                           jnp.stack([Ae, Be]), jnp.asarray(wd),
+                           jnp.stack([Ad, Bd]),
+                           jnp.asarray(wp, jnp.bfloat16),
+                           jnp.stack([Ap, Bp]), qp, True, True,
+                           interpret=True)
+        ref = self._ref(x, we, wd, wp, Ae, Be, Ad, Bd, Ap, Bp,
+                        np.asarray(qp), H, W, True, True)
+        assert bool(jnp.all(out == ref))
+
+    def test_no_expand_no_residual(self):
+        import jax.numpy as jnp
+        from shiftedscalequantization_tpu.ops.pallas.mbconv import \
+            mbconv_fused
+        rng = np.random.default_rng(1)
+        B, H, W, CE, CO = 2, 12, 12, 32, 16
+        x = jnp.asarray(rng.integers(0, 8, (B, H, W, CE)), jnp.int8)
+        wd = rng.integers(-2, 2, (9, CE)).astype(np.float32)
+        wp = rng.integers(-2, 2, (CE, CO)).astype(np.float32)
+        Ad = rng.uniform(0.01, 0.1, CE).astype(np.float32)
+        Bd = rng.uniform(-1, 1, CE).astype(np.float32) + 0.5
+        Ap = rng.uniform(0.01, 0.1, CO).astype(np.float32)
+        Bp = rng.uniform(-1, 1, CO).astype(np.float32) + 0.5
+        qp = jnp.asarray([[15.0, 15.0, 0.0, -8.0, 7.0, 0.0]], jnp.float32)
+        out = mbconv_fused(x, jnp.zeros((CE, CE), jnp.bfloat16),
+                           jnp.zeros((2, CE), jnp.float32),
+                           jnp.asarray(wd), jnp.stack([Ad, Bd]),
+                           jnp.asarray(wp, jnp.bfloat16),
+                           jnp.stack([Ap, Bp]), qp, False, False,
+                           interpret=True)
+        ref = self._ref(x, None, wd, wp, None, None, Ad, Bd, Ap, Bp,
+                        np.asarray(qp), H, W, False, False)
+        assert bool(jnp.all(out == ref))
