@@ -295,3 +295,63 @@ for name, fn, arg in [
 ]:
     t = time_fn(jax.jit(fn), arg, iters) * 1e3
     print(f"{name:40s} {t:7.3f} ms")
+
+
+# --- round-2b: epilogue algebra variants (deploy-exact shapes: scale,
+# bias, zp, output codes as int8). Hypotheses: (a) the /delta division
+# (delta is a DATA arg, XLA cannot reciprocal-fold it) costs real VPU
+# time; (b) folding scale/bias/zp into one multiply-add in code space
+# (M = s/d, C = b/d + 0.5 + zp) removes two adds and the division.
+bias_e = jax.device_put(jax.random.normal(k, (CE,)), tpu)
+bias_d = jax.device_put(jax.random.normal(k, (CE,)), tpu)
+bias_p = jax.device_put(jax.random.normal(k, (CO,)), tpu)
+d_act = jnp.float32(0.37)     # data arg (traced), like act_steps deltas
+zp_act = jnp.float32(0.0)
+
+
+def _epi_current(acc, sc, b, d, zp):
+    """deploy today: mul, add bias, DIV delta, +0.5, floor, +zp, clip."""
+    y = acc * sc + b
+    q = jnp.clip(jnp.floor(y / d + 0.5) + zp, 0.0, 15.0)
+    return (q - zp).astype(jnp.int8)
+
+
+def _epi_recip(acc, sc, b, d, zp):
+    """division replaced by reciprocal multiply (1/d hoisted)."""
+    inv = 1.0 / d
+    y = acc * sc + b
+    q = jnp.clip(jnp.floor(y * inv + 0.5) + zp, 0.0, 15.0)
+    return (q - zp).astype(jnp.int8)
+
+
+def _epi_folded(acc, sc, b, d, zp):
+    """single multiply-add in code space: M=s/d, C=b/d+0.5+zp."""
+    M = sc / d
+    C = b / d + 0.5 + zp
+    q = jnp.clip(jnp.floor(acc * M + C), 0.0, 15.0)
+    return (q - zp).astype(jnp.int8)
+
+
+def mk_block(epi):
+    def blk(xi):
+        xc = xi.astype(jnp.bfloat16)
+        a1 = conv(xc, we, pet=jnp.float32)
+        q1 = epi(a1, sc_e, bias_e, d_act, zp_act).astype(jnp.bfloat16)
+        a2 = conv(q1, wd, (2, 2), groups=CE, pet=jnp.float32)
+        q2 = epi(a2, sc_d, bias_d, d_act, zp_act).astype(jnp.bfloat16)
+        a3 = conv(q2, wp, pet=jnp.float32)
+        return a3 * sc_p + bias_p
+    return blk
+
+
+if os.environ.get("PROBE_EPI", "0") == "1":
+    for name, epi in [("epi current (div)", _epi_current),
+                      ("epi reciprocal mul", _epi_recip),
+                      ("epi folded single-FMA", _epi_folded)]:
+        t = time_fn(jax.jit(mk_block(epi)), x_i, iters) * 1e3
+        print(f"{name:40s} {t:7.3f} ms")
+    # numeric check: folded vs current on a grid
+    accv = jnp.linspace(-30, 30, 100001, dtype=jnp.float32)
+    a = _epi_current(accv, 0.73, 0.2, 0.37, 3.0)
+    c = _epi_folded(accv, 0.73, 0.2, 0.37, 3.0)
+    print("folded==current frac:", float((a == c).mean()))

@@ -74,29 +74,36 @@ def ensure_trained(dataset: str) -> str:
 
 
 RUNS = [
-    # (dataset, mode, n_bits_w, n_bits_a, extra_flags)
-    ("synth10", "fused", 2, 4, []),
-    ("synth10", "fused", 4, 4, []),
-    ("synth10", "brecq", 2, 4, []),
-    ("digits", "fused", 2, 4, []),
+    # (tag, dataset, mode, n_bits_w, n_bits_a, extra_flags)
+    ("fused", "synth10", "fused", 2, 4, []),
+    # --opt_beta: learned rounding inside the fused recon (the flag the
+    # reference README documents but never wires, README.md:30-34) —
+    # selection-only fused recon lacks capacity at W2 (ACCURACY.md)
+    ("fused+beta", "synth10", "fused", 2, 4,
+     ["--opt_beta", "true", "--act_mode", "delta"]),
+    ("fused", "synth10", "fused", 4, 4, []),
+    ("brecq", "synth10", "brecq", 2, 4, []),
+    ("brecq", "digits", "brecq", 2, 4, []),
+    ("fused+beta", "digits", "fused", 2, 4,
+     ["--opt_beta", "true", "--act_mode", "delta"]),
 ]
 if A.quick:
     RUNS = RUNS[:1]
 if A.only:
     keys = set(A.only.split(","))
     RUNS = [r for r in RUNS
-            if f"{r[0]}:{r[1]}:W{r[2]}A{r[3]}" in keys]
+            if f"{r[1]}:{r[0]}:W{r[3]}A{r[4]}" in keys]
 
 
-def run_one(dataset, mode, nbw, nba, extra):
+def run_one(tag, dataset, mode, nbw, nba, extra):
     ck = ensure_trained(dataset)
     argv = ["--dataset", dataset, "--arch", "resnet18",
             "--pretrained", ck, "--mode", mode,
             "--n_bits_w", str(nbw), "--n_bits_a", str(nba),
             "--iters_w", str(A.iters), "--iters_a", str(A.iters_a),
             "--num_samples", "256", "--batch_size", "64",
-            "--checkpoint_dir", f"./checkPoint/acc_{dataset}_{mode}",
-            "--log_path", f"/tmp/acc_{dataset}_{mode}_W{nbw}A{nba}.log",
+            "--checkpoint_dir", f"./checkPoint/acc_{dataset}_{tag}",
+            "--log_path", f"/tmp/acc_{dataset}_{tag}_W{nbw}A{nba}.log",
             ] + extra
     buf = io.StringIO()
 
@@ -120,7 +127,7 @@ def run_one(dataset, mode, nbw, nba, extra):
     traj = re.findall(
         r"accuracy of qnn_hard (\S+): \{'top1': ([\d.]+)", out)
     return {
-        "dataset": dataset, "mode": mode, "bits": f"W{nbw}A{nba}",
+        "dataset": dataset, "mode": tag, "bits": f"W{nbw}A{nba}",
         "fp_top1": float(fp[0]) if fp else None,
         "init_top1": float(init[0]) if init else None,
         "trajectory": [(n, float(a)) for n, a in traj],
@@ -128,7 +135,7 @@ def run_one(dataset, mode, nbw, nba, extra):
     }
 
 
-def deploy_eval(dataset, nbw, nba, mode):
+def deploy_eval(dataset, nbw, nba, tag):
     """Top-1 of the true-int deploy path on the hardened state, for both
     stem modes (stem 1-pass default vs exact 2-pass)."""
     import jax.numpy as jnp
@@ -145,7 +152,7 @@ def deploy_eval(dataset, nbw, nba, mode):
     cfg = ssq.QuantConfig(n_bits_w=nbw, n_bits_a=nba)
     params, _ = ssq.prepare_model(graph, raw, cfg)
     qstate, _ = ckpt.load_qstate(
-        f"./checkPoint/acc_{dataset}_{mode}/QNN_W{nbw}_A{nba}")
+        f"./checkPoint/acc_{dataset}_{tag}/QNN_W{nbw}_A{nba}")
     if dataset == "digits":
         from shiftedscalequantization_tpu.data.realdata import digits_arrays
         _, _, x_te, y_te = digits_arrays()
@@ -192,8 +199,9 @@ for r in RUNS:
 
 dep = None
 if not A.quick:
-    dep = deploy_eval("synth10", 2, 4, "fused")
-    print("deploy eval:", dep)
+    # evaluate the true-int deploy on the RECOVERED brecq W2A4 state
+    dep = deploy_eval("synth10", 2, 4, "brecq")
+    print("deploy eval (brecq W2A4):", dep)
 
 if A.quick:
     print("QUICK OK")

@@ -295,6 +295,7 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
     biased_sites = frozenset(
         s for s in act_steps
         if s not in int8_sites
+        and _scalar_step(act_steps[s])
         and act_steps[s][2] == 8
         and float(np.asarray(act_steps[s][1]).reshape(-1)[0]) == 0.0)
     # fused Pallas stem (ops/pallas/stem.py): 7x7/s2/p3 relu conv on the
@@ -356,7 +357,8 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
         if use_packed and d.w_packed is not None and site in int8_sites:
             plan[u.name] = ("packed", site)
             continue
-        if d.w_int is not None and site is not None:
+        if d.w_int is not None and site is not None \
+                and _scalar_step(act_steps[site]):
             delta, zp, n_bits = act_steps[site]
             zpv = float(np.asarray(zp).reshape(-1)[0])
             fits_int8 = ((2 ** n_bits - 1) - zpv <= 127) and (-zpv >= -128)
@@ -387,9 +389,21 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
     return plan
 
 
+def _scalar_step(st):
+    """True when the site's (delta, zp) are scalars. Per-channel steps
+    (hardened ActShiftQuant) cannot factor out of the consumer conv as an
+    output-side scale — conv(x ⊙ δ_c, W) folds into the WEIGHT, not the
+    output — so such sites transport f32 edges (exact) instead of codes."""
+    import numpy as np
+    delta, zp, _ = st
+    return np.asarray(delta).size == 1 and np.asarray(zp).size == 1
+
+
 def _site_fits_int8_concrete(st):
     import numpy as np
     _, zp, n_bits = st
+    if not _scalar_step(st):
+        return False
     zpv = float(np.asarray(zp).reshape(-1)[0])
     return ((2 ** n_bits - 1) - zpv <= 127) and (-zpv >= -128)
 
@@ -408,6 +422,23 @@ def _round_act(x):
 def _quant_centered(x, delta, zp, n_bits):
     q = jnp.clip(_round_act(x / delta) + zp, 0, 2 ** n_bits - 1)
     return (q - zp).astype(jnp.int8)
+
+
+@dataclasses.dataclass
+class _Pending:
+    """A unit's un-applied dequant epilogue: value = acc * scale + bias.
+
+    Deliberately NOT a tuple/pytree — it exists only transiently inside the
+    deploy_forward trace so quantize_out can fuse the epilogue with the
+    requant into one multiply-add in code space (see quantize_out)."""
+    acc: jax.Array
+    scale: Optional[jax.Array]
+    bias: Optional[jax.Array]
+
+
+def _finish_affine(acc, sc, b):
+    y = acc if sc is None else acc * sc
+    return y if b is None else y + b
 
 
 def _int_conv(x_int8, w_int8_oihw, stride, padding, groups):
@@ -459,21 +490,100 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             return (t.astype(jnp.float32) + 128.0) * delta
         return t.astype(jnp.float32) * delta
 
-    def quantize_out(t_float, site):
-        """Producer-side quantization onto the site grid."""
-        if isinstance(t_float, tuple):
-            return t_float          # fused kernel already quantized
+    def materialize(val, act=None):
+        """Apply a pending epilogue + activation to a raw float value."""
+        if isinstance(val, tuple):
+            return _activation(act, to_float(val))
+        if isinstance(val, _Pending):
+            return _activation(act, _finish_affine(val.acc, val.scale,
+                                                   val.bias))
+        return _activation(act, val)
+
+    def quantize_out(val, site, act=None, residual=None):
+        """Producer-side epilogue + quantization onto the site grid.
+
+        Two exact folds, both isolated on mnv2_block_probe.py:
+
+        - clamp activations (relu/relu6) fold into the requant clip
+          bounds: code(t) = floor(t/delta + 0.5) + zp is nondecreasing,
+          so code(clip(x, 0, 6)) == clip(code(x), code(0), code(6)) — a
+          separate relu6 pass costs ~0.15 ms/block at features.2 shapes
+          (XLA does not collapse clamp-of-clamp across the requant mul);
+        - the unit's dequant epilogue (acc*scale + bias) and the requant
+          (/delta, +zp) fuse into ONE multiply-add in code space:
+          q = clip(floor(acc*M + C), lo, hi) with M = scale/delta and
+          C = bias/delta + 0.5 + zp (integer zp commutes with floor) —
+          measured -0.2 ms/block vs the two-step form ("epi folded
+          single-FMA" probe row; a bare reciprocal swap saves nothing).
+
+        A block residual add fuses into the same chain (``residual=``):
+        floor(acc*M + r*Mr + C) where r is the residual's raw codes and
+        Mr its step over this site's step — no f32 residual tensor is
+        ever materialized ("code-space residual" probe row reached bf16
+        parity at features.3 shapes).
+
+        Multiplier association differs from the two-step float math by
+        ~1 ulp: 6e-8 of codes flip on a dense grid — same accepted class
+        as the floor(x+0.5) rounding (BENCHMARKS.md)."""
+        if isinstance(val, tuple) and residual is None \
+                and val[2] == site:
+            return val          # fused kernel already on this site's grid
         st = act_steps.get(site)
         if st is None:
-            return ("f32", t_float, None)
+            y = materialize(val)
+            if residual is not None:
+                y = y + to_float(residual)
+            return ("f32", _activation(act, y), None)
         delta, zp, n_bits = st
+        inv = 1.0 / delta
+        # assemble the floor argument as one fused chain: acc*M [+ r*Mr] + C
+        if isinstance(val, _Pending):
+            acc = val.acc
+            M = inv if val.scale is None else val.scale * inv
+            C = 0.5 + (0.0 if val.bias is None else val.bias * inv)
+        elif isinstance(val, tuple):
+            kind_v, tv, site_v = val
+            if kind_v == "f32":
+                acc, M, C = tv, inv, 0.5
+            else:   # codes/biased on another site's grid
+                acc = tv.astype(jnp.float32)
+                M, C = act_steps[site_v][0] * inv, 0.5
+                if kind_v == "biased":
+                    C = C + 128.0 * M
+        else:
+            acc, M, C = val, inv, 0.5
+        r, Mr = None, None
+        if residual is not None:
+            kind_r, tr, site_r = residual
+            if kind_r == "f32":
+                r, Mr = tr, inv
+            else:
+                r = tr.astype(jnp.float32)
+                Mr = act_steps[site_r][0] * inv
+                if kind_r == "biased":
+                    C = C + 128.0 * Mr
+
+        def codes_of(zp0, lo, hi):
+            a = act
+            if a in ("relu", "relu6"):
+                lo = jnp.maximum(lo, zp0 + 0.0)           # code(0) == zp
+                if a == "relu6":
+                    hi = jnp.minimum(hi, jnp.floor(6.0 * inv + 0.5) + zp0)
+                a = None
+            arg = acc * M + (C + zp0) if r is None \
+                else acc * M + r * Mr + (C + zp0)
+            if a is not None:   # non-clamp activation: materialize first
+                y = _activation(a, (arg - (0.5 + zp0)) * delta)
+                return jnp.clip(jnp.floor(y * inv + 0.5) + zp0, lo, hi)
+            return jnp.clip(jnp.floor(arg), lo, hi)
+
         if site in _int8_sites:
-            return ("codes", _quant_centered(t_float, delta, zp, n_bits),
-                    site)
+            q = codes_of(zp, 0.0, 2.0 ** n_bits - 1)
+            return ("codes", (q - zp).astype(jnp.int8), site)
         if site in _biased_sites:
-            q = jnp.clip(_round_act(t_float / delta), 0, 255)
+            q = codes_of(0.0, 0.0, 255.0)        # biased sites have zp == 0
             return ("biased", (q - 128).astype(jnp.int8), site)
-        q = jnp.clip(_round_act(t_float / delta) + zp, 0, 2 ** n_bits - 1)
+        q = codes_of(zp, 0.0, 2.0 ** n_bits - 1)
         return ("f32", (q - zp) * delta, None)
 
     def _int_acc(spec, xi, w_int):
@@ -520,6 +630,33 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                 2.0 ** n_bits_o - 1, stride=spec.stride[0],
                 act=spec.activation or "none", interpret=interp)
             return ("codes", out, spec.name)
+        if kind_plan == "packed":
+            # sub-byte packed weights (4x/2x less weight HBM): Pallas
+            # unpack-in-VMEM matmul (ops/pallas/packed.py). 1x1 convs
+            # flatten to (B*H*W, C) rows; stride subsamples rows first
+            # (padding == 0, so a strided 1x1 conv reads exactly the
+            # strided grid). Activation is folded downstream by
+            # quantize_out.
+            from .ops.pallas.packed import packed_quant_matmul
+            delta, zp, n_bits = act_steps[feed_site]
+            zpv = jnp.reshape(jnp.asarray(zp, jnp.float32), (-1,))[0]
+            dv = jnp.reshape(jnp.asarray(delta, jnp.float32), (-1,))[0]
+            if vkind == "codes":
+                # codes are already on the grid: identity re-quant inside
+                # the kernel (delta=1) and fold the true step into the
+                # epilogue scale
+                xq = t.astype(jnp.float32)
+                d_in, sc = jnp.float32(1.0), d.scale * dv
+            else:
+                xq, d_in, sc = to_float(v), dv, d.scale
+            if spec.kind == "conv" and spec.stride != (1, 1):
+                xq = xq[:, ::spec.stride[0], ::spec.stride[1], :]
+            lead = xq.shape[:-1]
+            out = packed_quant_matmul(
+                xq.reshape(-1, xq.shape[-1]), d.w_packed, d.w_pack_zp,
+                sc, d.bias, d_in, zpv, d.w_pack_bits, n_bits,
+                interpret=interp)
+            return out.reshape(*lead, -1)
         if kind_plan in ("int8", "int8_pair", "bf16_codes"):
             delta, zp, n_bits = act_steps[feed_site]
             if kind_plan == "bf16_codes":
@@ -567,13 +704,13 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             if d.w_groups is not None:
                 # per-(oc, ic-group) scale-table epilogue: one int conv per
                 # shift candidate, each dequantized at its own per-OC scale
-                out = d.bias
+                out = jnp.float32(0.0)
                 for s in range(d.w_groups.shape[0]):
                     out = out + acc_fn(d.w_groups[s]).astype(jnp.float32) \
                         * (d.group_scales[s] * delta)
-            else:
-                out = acc_fn(d.w_int).astype(jnp.float32) \
-                    * (d.scale * delta) + d.bias
+                return _Pending(out, None, d.bias)
+            return _Pending(acc_fn(d.w_int).astype(jnp.float32),
+                            d.scale * delta, d.bias)
         else:
             xf = to_float(v)
             # Weights are integer codes (int8 or f32): EXACTLY
@@ -618,10 +755,11 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                 out = _pass(x_hi)
             else:
                 out = _pass(x_hi) + _pass(x_lo)
-            if sc is not None:
-                out = out * sc
-            out = out + d.bias
-        return _activation(spec.activation, out)
+            # activation is intentionally NOT applied in run_unit:
+            # quantize_out applies the pending epilogue fused with the
+            # requant and folds relu/relu6 into the clip (exact), or
+            # materialize() finishes it when the output has no quant site
+            return _Pending(out, sc, d.bias)
 
     v = ("f32", x, None)
     pooled_by_stem = False
@@ -647,20 +785,22 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             elif node.op == "flatten":
                 v = ("f32", to_float(v).reshape(t.shape[0], -1), None)
         elif isinstance(node, UnitSpec):
-            v = quantize_out(run_unit(node, v), node.name)
+            v = quantize_out(run_unit(node, v), node.name, node.activation)
             if node.name == stem_name and stem_ok:
                 pooled_by_stem = True
         else:  # BlockSpec
-            residual_f = None
+            res_v = None
             if node.residual:
-                residual_f = run_unit(node.downsample, v) \
-                    if node.downsample is not None else to_float(v)
+                # identity residuals stay in their code form and fuse into
+                # the block-site requant chain (quantize_out residual=);
+                # downsample residuals materialize their pending epilogue
+                res_v = ("f32", materialize(
+                    run_unit(node.downsample, v),
+                    node.downsample.activation), None) \
+                    if node.downsample is not None else v
             t = v
             for u in node.units:
-                t = quantize_out(run_unit(u, t), u.name)
-            tf = to_float(t)
-            if node.residual:
-                tf = tf + residual_f
-            tf = _activation(node.post_activation, tf)
-            v = quantize_out(tf, node.name)
+                t = quantize_out(run_unit(u, t), u.name, u.activation)
+            v = quantize_out(t, node.name, node.post_activation,
+                             residual=res_v)
     return to_float(v)

@@ -18,8 +18,9 @@ def build_parser() -> argparse.ArgumentParser:
     # general (common.py:24-30)
     p.add_argument("--seed", default=1005, type=int)
     p.add_argument("--arch", default="resnet18", type=str,
-                   choices=["resnet18", "resnet50", "mobilenetv2",
-                            "regnetx_600m", "regnetx_3200m", "mnasnet"])
+                   choices=["resnet18", "resnet34", "resnet50", "resnet101",
+                            "resnet152", "mobilenetv2", "regnetx_600m",
+                            "regnetx_3200m", "mnasnet"])
     p.add_argument("--batch_size", default=64, type=int)
     p.add_argument("--workers", default=4, type=int)
     p.add_argument("--data_path", default="~/dataset/cifar10", type=str)

@@ -1,0 +1,121 @@
+"""Round-2 deploy-path additions: packed execution, clamp-activation
+folding, per-channel (ActShiftQuant) site transport."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import shiftedscalequantization_tpu as ssq
+from shiftedscalequantization_tpu import deploy
+from shiftedscalequantization_tpu.graph import UnitQuant, find_node
+from shiftedscalequantization_tpu.models import resnet
+from shiftedscalequantization_tpu.quantize import act_flags
+
+
+def build(nbw=2, nba=4):
+    graph = resnet.build_resnet(18, num_classes=10, variant="cifar")
+    raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+    cfg = ssq.QuantConfig(n_bits_w=nbw, n_bits_a=nba, w_scale_method="max",
+                          a_scale_method="max")
+    params, qstate = ssq.prepare_model(graph, raw, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    qstate = ssq.calibrate_acts(graph, params, qstate, x, cfg)
+    flags = act_flags(graph, cfg, base=ssq.Flags().all_weights(graph))
+    return graph, params, qstate, x, flags
+
+
+class TestClampFolding:
+    def test_fold_is_exact_vs_separate_activation(self):
+        """code() is monotone, so code(clip(x,0,6)) == clip(code(x),
+        code(0), code(6)) — the algebra quantize_out relies on."""
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4096,)).astype(np.float32) * 8
+        for act_hi, zp, d, hi in [(6.0, 0, 0.43, 15), (6.0, 3, 0.391, 15),
+                                  (6.0, 0, 0.05, 15), (None, 5, 0.21, 15)]:
+            xa = np.clip(x, 0.0, act_hi if act_hi else None)
+            old = np.clip(np.floor(xa / d + 0.5) + zp, 0, hi)
+            lo_f = max(0.0, zp)
+            hi_f = min(hi, np.floor(act_hi / d + 0.5) + zp) if act_hi \
+                else hi
+            new = np.clip(np.floor(x / d + 0.5) + zp, lo_f, hi_f)
+            np.testing.assert_array_equal(old, new)
+
+    def test_full_net_deploy_still_matches_sim(self):
+        """relu folding must not change deploy outputs (W4A8 keeps the
+        per-layer drift small enough for a tight check)."""
+        graph, params, qstate, x, flags = build(4, 8)
+        sim = ssq.forward(graph, params, qstate, x, flags)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        dep = deploy.deploy_forward(graph, dparams, steps, x)
+        rel = float(jnp.abs(sim - dep).mean() / (jnp.abs(sim).mean() + 1e-9))
+        assert rel < 0.02, rel
+
+
+class TestPackedDeploy:
+    def test_packed_plan_kind_actually_executes(self, monkeypatch):
+        """SSQ_PACKED=1 routes 1x1 convs through the Pallas packed kernel
+        (round-1 gap: the plan kind existed but run_unit silently fell
+        through to the float path) and matches the default deploy."""
+        graph, params, qstate, x, flags = build(2, 4)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+
+        monkeypatch.setenv("SSQ_PACKED", "1")
+        plan_p = deploy.make_deploy_plan(graph, dparams, steps)
+        kinds = [v[0] for k, v in plan_p.items() if not k.startswith("__")]
+        assert "packed" in kinds, kinds
+        # downsample 1x1s are stride-2: the strided-subsample path runs
+        packed_units = [k for k, v in plan_p.items()
+                        if not k.startswith("__") and v[0] == "packed"]
+        assert any("downsample" in n for n in packed_units), packed_units
+        dep_p = deploy.deploy_forward(graph, dparams, steps, x, plan_p)
+
+        monkeypatch.setenv("SSQ_PACKED", "0")
+        plan_0 = deploy.make_deploy_plan(graph, dparams, steps)
+        dep_0 = deploy.deploy_forward(graph, dparams, steps, x, plan_0)
+        rel = float(jnp.abs(dep_p - dep_0).mean()
+                    / (jnp.abs(dep_0).mean() + 1e-9))
+        assert rel < 1e-4, rel
+
+
+class TestActShiftDeploy:
+    def test_per_channel_site_transports_f32_and_matches_sim(self):
+        """A hardened ActShiftQuant block site has a per-channel step; the
+        plan must NOT class it as an int8/biased code edge (the per-IC
+        step cannot factor out of the consumer conv as an output scale)
+        and the f32-edge fallback must match sim."""
+        from shiftedscalequantization_tpu.ops.act_quant import ActShiftQuant
+        from shiftedscalequantization_tpu.ops import quant as Q
+
+        graph, params, qstate, x, flags = build(2, 4)
+        name = next(n for n, v in qstate.items()
+                    if v is not None and not isinstance(v, UnitQuant))
+        node = find_node(graph, name)
+        c = node.units[-1].out_ch
+        qp = qstate[name]
+        # alternate targets 1.0 / 0.5 across channels -> genuinely
+        # per-channel effective delta
+        p = jax.nn.one_hot(jnp.arange(c) % 2, 2, dtype=jnp.float32)
+        asq = ActShiftQuant(qp=qp,
+                            alpha=Q.inverse_rectified_softmax(
+                                p * 0.8 + (1 - p) * 0.2),
+                            shift_targets=(1.0, 0.5), hard_targets=True)
+        qstate = dict(qstate)
+        qstate[name] = asq
+
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        assert np.asarray(steps[name][0]).size == c  # per-channel step
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        plan = deploy.make_deploy_plan(graph, dparams, steps)
+        assert name not in plan["__int8_sites__"]
+        assert name not in plan.get("__biased_sites__", frozenset())
+
+        sim = ssq.forward(graph, params, qstate, x, flags)
+        dep = deploy.deploy_forward(graph, dparams, steps, x, plan)
+        rel = float(jnp.abs(sim - dep).mean() / (jnp.abs(sim).mean() + 1e-9))
+        # W2A4 end-to-end tie-flips amplify; top-1 agreement + bounded drift
+        assert rel < 0.15, rel
+        assert (np.asarray(sim).argmax(-1)
+                == np.asarray(dep).argmax(-1)).mean() >= 0.99
