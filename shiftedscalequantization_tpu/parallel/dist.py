@@ -124,3 +124,56 @@ def sharded_reconstruct(graph: Graph, params, qstate, node_name: str,
         qstate = shard_qstate(qstate, mesh)
         return reconstruct_node(graph, params, qstate, node_name,
                                 cached_inp, cached_out, settings, key)
+
+
+def ddp_reconstruct(graph: Graph, params, qstate, node_name: str,
+                    cached_inp, cached_out, settings, key, mesh: Mesh,
+                    wire: str = "f32", cached_grads=None):
+    """Explicit-collective DDP reconstruction (the reference's multi-GPU
+    recon shape: per-rank minibatches + an all-reduce of gradients,
+    Brecq/block_recon.py link.allreduce — here one shard_map program).
+
+    The recon chunk runs under shard_map over mesh['data'] with the cache
+    batch-sharded; every device samples its LOCAL minibatch of
+    batch_size // n rows and the gradient is all-reduced with the chosen
+    wire format: 'f32' (lax.pmean — the NCCL-allreduce equivalent) or
+    'int8' (EQuARX-style quantized all-reduce, parallel/collectives —
+    ~2.7x fewer wire bytes for DCN-bound multi-host calibration).
+
+    sharded_reconstruct is the implicit twin (GSPMD inserts the
+    collectives, always f32); this one exists to control the wire."""
+    import dataclasses
+
+    from jax import shard_map
+
+    from ..recon.engine import _recon_chunk_jit, reconstruct_node
+
+    n = mesh.shape["data"]
+    s = dataclasses.replace(settings, grad_psum_axis="data", grad_wire=wire,
+                            batch_size=max(settings.batch_size // n, 1))
+    with mesh:
+        ci, _ = pad_to_multiple(jnp.asarray(cached_inp), n)
+        ci = shard_batch(ci, mesh)
+        co, _ = pad_to_multiple(jnp.asarray(cached_out), n)
+        co = shard_batch(co, mesh)
+        cg = None
+        if cached_grads is not None:
+            cg, _ = pad_to_multiple(jnp.asarray(cached_grads), n)
+            cg = shard_batch(cg, mesh)
+
+        def runner(node_c, s_, flags_c, p_norm, nsteps, theta, opt, key_,
+                   t0, params_sub, qstate_sub, ci_, co_, cg_):
+            fn = shard_map(
+                partial(_recon_chunk_jit, node_c, s_, flags_c, p_norm,
+                        nsteps),
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(), P(),
+                          P("data"), P("data"), P("data")),
+                out_specs=(P(), P(), P()),
+                check_vma=False)
+            return fn(theta, opt, key_, t0, params_sub, qstate_sub,
+                      ci_, co_, cg_)
+
+        return reconstruct_node(graph, params, qstate, node_name, ci, co,
+                                s, key, cached_grads=cg,
+                                chunk_runner=runner)

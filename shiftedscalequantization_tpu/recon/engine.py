@@ -66,7 +66,12 @@ class ReconSettings:
     shift_targets: tuple = (1.0 - 1.0 / 32, 1.0 + 1.0 / 32, 1.0)
     opt_beta: bool = False
     opt_output_affine: bool = False
-    grad_psum_axis: Optional[str] = None   # pmean grads across this mesh axis
+    # DDP gradient reduction (dist.ddp_reconstruct runs the chunk under
+    # shard_map with this axis bound): pmean grads across the mesh axis,
+    # with wire format 'f32' (plain pmean, the NCCL-allreduce equivalent)
+    # or 'int8' (EQuARX-style quantized all-reduce — parallel/collectives)
+    grad_psum_axis: Optional[str] = None
+    grad_wire: str = "f32"
     # reconstruction-loss form (reference --opt_mode / rec_loss,
     # layer_recon.py:142-150): 'mse' | 'fisher_diag' | 'fisher_full';
     # fisher modes need cached_grads passed to reconstruct_node
@@ -304,7 +309,9 @@ def _recon_step_body(node, s, flags, p_norm, qstate_sub, params_sub,
             node, s, flags, p_norm, qstate_sub, th, params_sub, xb, yb, gb,
             i.astype(jnp.float32))
     if s.grad_psum_axis is not None:
-        grads = jax.lax.pmean(grads, s.grad_psum_axis)
+        from ..parallel.collectives import pmean_tree
+        grads = pmean_tree(grads, s.grad_psum_axis, s.grad_wire)
+        rec = jax.lax.pmean(rec, s.grad_psum_axis)
     updates, opt = tx.update(grads, opt, th)
     th = optax.apply_updates(th, updates)
     return (th, opt), rec
@@ -346,11 +353,15 @@ def _eval_rec_jit(node, flags, rec_kind, p_norm, params_sub, qstate_sub,
 
 def reconstruct_node(graph, params, qstate, node_name: str,
                      cached_inp, cached_out, s: ReconSettings,
-                     key: jax.Array, cached_grads=None):
+                     key: jax.Array, cached_grads=None, chunk_runner=None):
     """Run one reconstruction. Returns (new_qstate, metrics).
 
     ``cached_grads`` (from recon.capture.capture_grads) enables the
-    Fisher-weighted loss forms when s.rec_loss != 'mse'."""
+    Fisher-weighted loss forms when s.rec_loss != 'mse'.
+
+    ``chunk_runner`` overrides the jitted chunk executor (signature of
+    ``_recon_chunk_jit``) — dist.ddp_reconstruct passes a shard_map-
+    wrapped runner that binds s.grad_psum_axis to a real mesh axis."""
     node = find_node(graph, node_name)
     is_block = isinstance(node, BlockSpec)
     unit_names = node_unit_names(node)
@@ -377,7 +388,18 @@ def reconstruct_node(graph, params, qstate, node_name: str,
             chunk = 1 if jax.default_backend() == "cpu" else 500
         chunk = max(min(chunk, s.iters), 1)
         traces = []
-        if chunk == 1:
+        if chunk_runner is not None:
+            done = 0
+            while done < s.iters:
+                nsteps = min(max(chunk, 1), s.iters - done)
+                theta, opt_state, losses = chunk_runner(
+                    node_c, s, flags_c, p_norm, nsteps, theta, opt_state,
+                    key, jnp.int32(done), params_sub, qstate_sub,
+                    cached_inp, cached_out, cached_grads)
+                traces.append(losses)
+                done += nsteps
+            metrics["rec_trace"] = jnp.concatenate(traces)
+        elif chunk == 1:
             for i in range(s.iters):
                 theta, opt_state, loss = _recon_step_jit(
                     node_c, s, flags_c, p_norm, theta, opt_state, key,
@@ -547,7 +569,9 @@ def reconstruct_act_shift(graph, params, qstate, node_name: str,
             th, cached_inp[idx].astype(jnp.float32),
             cached_out[idx].astype(jnp.float32))
         if s.grad_psum_axis is not None:
-            grads = jax.lax.pmean(grads, s.grad_psum_axis)
+            from ..parallel.collectives import pmean_tree
+            grads = pmean_tree(grads, s.grad_psum_axis, s.grad_wire)
+            loss = jax.lax.pmean(loss, s.grad_psum_axis)
         updates, opt = tx.update(grads, opt, th)
         th = optax.apply_updates(th, updates)
         return (th, opt), loss
@@ -633,7 +657,9 @@ def reconstruct_act_delta(graph, params, qstate, node_name: str,
             th, cached_inp[idx].astype(jnp.float32),
             cached_out[idx].astype(jnp.float32))
         if s.grad_psum_axis is not None:
-            grads = jax.lax.pmean(grads, s.grad_psum_axis)
+            from ..parallel.collectives import pmean_tree
+            grads = pmean_tree(grads, s.grad_psum_axis, s.grad_wire)
+            loss = jax.lax.pmean(loss, s.grad_psum_axis)
         updates, opt = tx.update(grads, opt, th)
         th = optax.apply_updates(th, updates)
         return (th, opt), loss
