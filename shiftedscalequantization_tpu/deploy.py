@@ -214,7 +214,16 @@ def _feeding_sites(graph: Graph, act_steps: dict) -> dict:
         for u in node.units:
             feed[u.name] = prev if prev in act_steps else None
             prev = u.name
-        current = node.name
+        # a block with no residual, no post-activation, and no block-level
+        # act site passes the LAST UNIT's tensor through unchanged — its
+        # site governs the next consumer (MNASNet is encoded per-unit with
+        # no block sites; without this, every stage-opening expand conv
+        # fell to the 2-pass float path)
+        if (not node.residual and node.post_activation is None
+                and node.name not in act_steps):
+            current = prev
+        else:
+            current = node.name
     return feed
 
 
@@ -480,11 +489,22 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
     # Pallas TPU kernels run in interpret mode on other backends (CPU
     # tests); the plan itself is platform-independent.
     interp = jax.default_backend() != "tpu"
+    # n-term code transport across siteless residual blocks (MNASNet):
+    # SSQ_PAIR_TRANSPORT=0 falls back to f32 materialization (safety
+    # valve while the XLA:TPU compile behavior of the decomposed graphs
+    # is being characterized)
+    import os
+    _use_pairs = os.environ.get("SSQ_PAIR_TRANSPORT", "1") != "0"
 
     def to_float(v):
         kind, t, site = v
         if kind == "f32":
             return t
+        if kind == "pair":      # n-term code sum (siteless residual chain)
+            acc = to_float(t[0])
+            for term in t[1:]:
+                acc = acc + to_float(term)
+            return acc
         delta, zp, _ = act_steps[site]
         if kind == "biased":
             return (t.astype(jnp.float32) + 128.0) * delta
@@ -555,8 +575,8 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
         r, Mr = None, None
         if residual is not None:
             kind_r, tr, site_r = residual
-            if kind_r == "f32":
-                r, Mr = tr, inv
+            if kind_r in ("f32", "pair"):
+                r, Mr = to_float(residual), inv
             else:
                 r = tr.astype(jnp.float32)
                 Mr = act_steps[site_r][0] * inv
@@ -712,6 +732,30 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             return _Pending(acc_fn(d.w_int).astype(jnp.float32),
                             d.scale * delta, d.bias)
         else:
+            # pair-fed consumer (two code grids summed by a siteless
+            # residual block): conv is linear, so conv(q1*d1 + q2*d2, W)
+            # == conv(q1, W)*d1 + conv(q2, W)*d2 — two exact code convs
+            # replace BOTH the 2-pass hi/lo float split and the f32
+            # materialization of the sum (MNASNet stage tails)
+            if vkind == "pair" and kind_plan == "float" \
+                    and d.w_int is not None:
+                w_b = d.w_int.astype(jnp.bfloat16)
+
+                def _code_pass(tc):
+                    xb = tc.astype(jnp.bfloat16)     # |codes| <= 127: exact
+                    if spec.kind == "conv":
+                        return conv2d(xb, w_b, None, spec.stride,
+                                      spec.padding, spec.groups,
+                                      preferred_element_type=jnp.float32)
+                    return jax.lax.dot_general(
+                        xb, w_b.T, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+                acc = None
+                for _, tc, sc_site in t:
+                    term = _code_pass(tc) * act_steps[sc_site][0]
+                    acc = term if acc is None else acc + term
+                return _Pending(acc, d.scale, d.bias)
             xf = to_float(v)
             # Weights are integer codes (int8 or f32): EXACTLY
             # bf16-representable (|centered| <= 255 < 2^8 mantissa), so the
@@ -765,6 +809,8 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
     pooled_by_stem = False
     for node in graph:
         if isinstance(node, OpSpec):
+            if v[0] == "pair":         # ops consume a plain tensor
+                v = ("f32", to_float(v), None)
             kind, t, site = v
             if node.op == "maxpool" and pooled_by_stem:
                 pooled_by_stem = False   # stem kernel already pooled
@@ -801,6 +847,25 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             t = v
             for u in node.units:
                 t = quantize_out(run_unit(u, t), u.name, u.activation)
-            v = quantize_out(t, node.name, node.post_activation,
-                             residual=res_v)
+            no_site = act_steps.get(node.name) is None
+            if res_v is None and node.post_activation is None and no_site:
+                # siteless pass-through: the block output IS the last
+                # unit's tensor — keep its code form (matches
+                # _feeding_sites)
+                v = t
+            elif (node.post_activation is None and no_site
+                    and _use_pairs
+                    and isinstance(t, tuple) and t[0] == "codes"
+                    and isinstance(res_v, tuple)
+                    and res_v[0] in ("codes", "pair")
+                    and (res_v[0] == "codes" or len(res_v[1]) < 3)):
+                # siteless residual of code grids: defer the sum to the
+                # consumer, which decomposes conv(sum q_i*d_i) into one
+                # exact code conv per term (capped at 3 terms; deeper
+                # chains materialize f32 below)
+                terms = (res_v,) if res_v[0] == "codes" else res_v[1]
+                v = ("pair", (t,) + tuple(terms), None)
+            else:
+                v = quantize_out(t, node.name, node.post_activation,
+                                 residual=res_v)
     return to_float(v)

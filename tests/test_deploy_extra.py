@@ -119,3 +119,55 @@ class TestActShiftDeploy:
         assert rel < 0.15, rel
         assert (np.asarray(sim).argmax(-1)
                 == np.asarray(dep).argmax(-1)).mean() >= 0.99
+
+
+class TestSitelessBlockTransport:
+    """MNASNet is encoded per-unit (no block act sites): non-residual
+    blocks must pass codes through and siteless residual sums must travel
+    as exact code pairs, not materialized f32 (round-2 fix: 17 of its
+    convs ran the 2-pass float path)."""
+
+    def _setup(self, nbw, nba):
+        import jax
+        from shiftedscalequantization_tpu.models import resnet, zoo
+        graph, _ = zoo.build("mnasnet", dataset="imagenet")
+        raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+        cfg = ssq.QuantConfig(n_bits_w=nbw, n_bits_a=nba,
+                              w_scale_method="max", a_scale_method="max")
+        params, qstate = ssq.prepare_model(graph, raw, cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 224, 224, 3))
+        qstate = ssq.calibrate_acts(graph, params, qstate, x, cfg)
+        return graph, params, qstate, x, act_flags(
+            graph, cfg, base=ssq.Flags().all_weights(graph))
+
+    def test_mnasnet_w2a4_code_transport(self):
+        """W2A4: unit sites are 4-bit codes, so both the pass-through and
+        the n-term pair decomposition exercise. Per-logit comparison only
+        (a single random sample at W2 amplifies the accepted 1-ulp tie
+        flips chaotically; the tight check is the W4A8 test below)."""
+        graph, params, qstate, x, flags = self._setup(2, 4)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        plan = deploy.make_deploy_plan(graph, dparams, steps)
+        # codes pass through non-residual siteless blocks: the expand conv
+        # after each stage-opening block must NOT run the float path
+        # (before the fix every one of these was 'float')
+        fixed = [k for k, v in plan.items()
+                 if not k.startswith("__") and ".1.layers.0" in k]
+        assert fixed, "expected stage .1 expand convs in the plan"
+        for k in fixed:
+            assert not plan[k][0].startswith("float"), (k, plan[k])
+        sim = ssq.forward(graph, params, qstate, x, flags)
+        dep = deploy.deploy_forward(graph, dparams, steps, x, plan)
+        rel = float(jnp.abs(sim - dep).mean() / (jnp.abs(sim).mean() + 1e-9))
+        assert rel < 0.2, rel
+
+    def test_mnasnet_w4a8_matches_sim_tightly(self):
+        graph, params, qstate, x, flags = self._setup(4, 8)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        sim = ssq.forward(graph, params, qstate, x, flags)
+        dep = deploy.deploy_forward(graph, dparams, steps, x)
+        rel = float(jnp.abs(sim - dep).mean() / (jnp.abs(sim).mean() + 1e-9))
+        assert rel < 0.03, rel
+        assert int(np.asarray(sim).argmax()) == int(np.asarray(dep).argmax())
