@@ -489,12 +489,16 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
     # Pallas TPU kernels run in interpret mode on other backends (CPU
     # tests); the plan itself is platform-independent.
     interp = jax.default_backend() != "tpu"
-    # n-term code transport across siteless residual blocks (MNASNet):
-    # SSQ_PAIR_TRANSPORT=0 falls back to f32 materialization (safety
-    # valve while the XLA:TPU compile behavior of the decomposed graphs
-    # is being characterized)
+    # n-term code transport across siteless residual blocks (MNASNet).
+    # Default OFF on TPU: the first mnasnet deploy graph containing the
+    # decomposed pair convs wedged the remote XLA:TPU compile service for
+    # >1h (2026-08-18; every prior mnasnet deploy graph compiled in
+    # minutes). CPU (incl. the test suite) keeps it on — parity is
+    # proven there. SSQ_PAIR_TRANSPORT=1/0 overrides either way.
     import os
-    _use_pairs = os.environ.get("SSQ_PAIR_TRANSPORT", "1") != "0"
+    _use_pairs = os.environ.get(
+        "SSQ_PAIR_TRANSPORT",
+        "0" if jax.default_backend() == "tpu" else "1") != "0"
 
     def to_float(v):
         kind, t, site = v
