@@ -88,8 +88,38 @@ def bench_arch(arch: str, batch: int, iters: int, hw: int):
     return batch / q_t, batch / fp_t, q_t, fp_t
 
 
+def _device_responsive(timeout_s: float) -> bool:
+    """Trivial-matmul ping with a hard timeout. The remote axon compile
+    service serializes clients; a pathological compile from an earlier
+    run can wedge it for hours (observed 2026-08-18) — in that state
+    every jax call blocks forever, so the ping runs in a daemon thread
+    and the bench fails fast with a machine-readable error instead of
+    hanging the driver."""
+    import threading
+    ok = []
+
+    def ping():
+        x = jax.device_put(jnp.ones((128, 128)), jax.devices()[0])
+        float(jax.jit(lambda a: (a @ a).sum())(x))
+        ok.append(True)
+
+    t = threading.Thread(target=ping, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", 256))
+    ping_timeout = float(os.environ.get("BENCH_PING_TIMEOUT", 300))
+    if not _device_responsive(ping_timeout):
+        print(json.dumps({
+            "metric": "resnet18 W2A4 int8-deploy images/sec/chip",
+            "value": 0, "unit": "images/sec/chip", "vs_baseline": 0,
+            "extra": {"error": f"device unresponsive: trivial matmul did "
+                               f"not complete in {ping_timeout:.0f}s "
+                               "(wedged remote compile service)"}}))
+        os._exit(0)
     iters = int(os.environ.get("BENCH_ITERS", 20))
     hw = int(os.environ.get("BENCH_HW", 224))
     arch = os.environ.get("BENCH_ARCH", "resnet18")
