@@ -167,9 +167,23 @@ def build_imagenet_data(batch_size: int = 64, data_path: str = "~/dataset/imagen
             train = inio.ImageFolderLoader(
                 os.path.join(data_path, "train"), batch_size, train=True,
                 input_size=input_size, seed=seed, shard=shard)
-            test = inio.ImageFolderLoader(
-                os.path.join(data_path, "val"), batch_size, train=False,
-                input_size=input_size, seed=seed, shard=shard)
+            # val path is deterministic (resize/crop only): use the native
+            # C++ pipeline (libjpeg decode + threaded prefetch) when built;
+            # the train path keeps PIL for RandomResizedCrop augmentation
+            from .native_loader import NativeJpegLoader, jpeg_available
+            if jpeg_available():
+                _, samples = inio._index_image_folder(
+                    os.path.join(data_path, "val"))
+                rank, world = shard
+                samples = samples[rank::world]
+                test = NativeJpegLoader(
+                    [p for p, _ in samples],
+                    np.asarray([c for _, c in samples], np.int32),
+                    batch_size, input_size=input_size, seed=seed)
+            else:
+                test = inio.ImageFolderLoader(
+                    os.path.join(data_path, "val"), batch_size, train=False,
+                    input_size=input_size, seed=seed, shard=shard)
             return train, test
         x_tr, y_tr = inio.load_array_split(data_path, "train", input_size)
         x_te, y_te = inio.load_array_split(data_path, "val", input_size)

@@ -51,6 +51,20 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
     lib.ssq_loader_next.restype = i64
     lib.ssq_loader_next.argtypes = [p, f32p, i32p]
     lib.ssq_loader_destroy.argtypes = [p]
+    try:
+        lib.ssq_jpeg_loader_create.restype = p
+        lib.ssq_jpeg_loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), i32p, i64, ctypes.c_int,
+            ctypes.c_int, f32p, f32p, i64, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.ssq_jpeg_loader_num_batches.restype = i64
+        lib.ssq_jpeg_loader_num_batches.argtypes = [p]
+        lib.ssq_jpeg_loader_next.restype = i64
+        lib.ssq_jpeg_loader_next.argtypes = [p, f32p, i32p]
+        lib.ssq_jpeg_loader_destroy.argtypes = [p]
+    except AttributeError:
+        pass            # stale .so without JPEG support: rebuild via make
     _lib = lib
     return lib
 
@@ -136,3 +150,79 @@ class NativeLoader:
                 yield imgs[:got], labs[:got]
         finally:
             self._lib.ssq_loader_destroy(handle)
+
+
+def jpeg_available() -> bool:
+    lib = _ensure_built()
+    return lib is not None and hasattr(lib, "ssq_jpeg_loader_create")
+
+
+class NativeJpegLoader:
+    """Iterable of (images NHWC f32 normalized, labels i32) batches decoded
+    and preprocessed entirely in C++ (libjpeg decode, PIL-BILINEAR-matching
+    triangle resample shorter-side->256, center-crop, normalize —
+    reference data/imagenet.py:27-32 val transform), with a threaded
+    decode pool behind a double-buffered prefetch queue. The native twin
+    of imagenet_io.ImageFolderLoader's val path."""
+
+    def __init__(self, paths, labels, batch_size: int, input_size: int = 224,
+                 resize: int = 256, mean=None, std=None,
+                 shuffle: bool = False, seed: int = 0, shard=(0, 1),
+                 drop_last: bool = False, prefetch: int = 2,
+                 threads: int = 4):
+        lib = _ensure_built()
+        if lib is None or not hasattr(lib, "ssq_jpeg_loader_create"):
+            raise RuntimeError("native JPEG loader unavailable")
+        self._lib = lib
+        self._paths = [os.fsencode(p) for p in paths]
+        self._labels = np.ascontiguousarray(labels, np.int32)
+        self._argv = (ctypes.c_char_p * len(self._paths))(*self._paths)
+        from .imagenet_io import IMAGENET_MEAN, IMAGENET_STD
+        self._mean = np.ascontiguousarray(
+            IMAGENET_MEAN if mean is None else mean, np.float32)
+        self._std = np.ascontiguousarray(
+            IMAGENET_STD if std is None else std, np.float32)
+        self.batch_size = batch_size
+        self._crop, self._resize = input_size, resize
+        self._shuffle, self._seed = shuffle, seed
+        self._rank, self._world = shard
+        self._drop_last, self._prefetch = drop_last, prefetch
+        self._threads = threads
+        self._epoch = 0
+
+    def _make(self):
+        seed = self._seed + (self._epoch if self._shuffle else 0)
+        return self._lib.ssq_jpeg_loader_create(
+            self._argv,
+            self._labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(self._paths), self._resize, self._crop,
+            self._mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.batch_size, int(self._shuffle), seed, self._rank,
+            self._world, int(self._drop_last), self._prefetch,
+            self._threads)
+
+    def __len__(self):
+        handle = self._make()
+        try:
+            return self._lib.ssq_jpeg_loader_num_batches(handle)
+        finally:
+            self._lib.ssq_jpeg_loader_destroy(handle)
+
+    def __iter__(self):
+        s = self._crop
+        handle = self._make()
+        self._epoch += 1
+        try:
+            while True:
+                imgs = np.empty((self.batch_size, s, s, 3), np.float32)
+                labs = np.empty((self.batch_size,), np.int32)
+                got = self._lib.ssq_jpeg_loader_next(
+                    handle,
+                    imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    labs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+                if got == 0:
+                    return
+                yield imgs[:got], labs[:got]
+        finally:
+            self._lib.ssq_jpeg_loader_destroy(handle)
