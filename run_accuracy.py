@@ -35,6 +35,9 @@ ap.add_argument("--only", default=None,
                 help="comma list of dataset:mode:WxAy filters, e.g. "
                      "'synth10:fused:W2A4,digits:fused:W2A4'")
 ap.add_argument("--out", default="ACCURACY.md")
+ap.add_argument("--arch", default="resnet18",
+                help="any zoo arch with a cifar/small variant "
+                     "(resnet18/34/50/...)")
 A = ap.parse_args()
 
 if A.platform == "cpu":
@@ -58,8 +61,8 @@ from shiftedscalequantization_tpu import cli  # noqa: E402
 if A.quick:
     A.iters, A.iters_a = 4, 4
 
-CKPTS = {"synth10": "trained_resnet18_synth10.npz",
-         "digits": "trained_resnet18_digits.npz"}
+CKPTS = {"synth10": f"trained_{A.arch}_synth10.npz",
+         "digits": f"trained_{A.arch}_digits.npz"}
 
 
 def ensure_trained(dataset: str) -> str:
@@ -68,8 +71,9 @@ def ensure_trained(dataset: str) -> str:
         from shiftedscalequantization_tpu.train import main as train_main
         steps = "200" if A.quick else "4000"
         print(f"[train] {dataset}: {steps} steps on-device")
-        train_main(["--dataset", dataset, "--steps", steps,
-                    "--batch_size", "128", "--out", path])
+        train_main(["--arch", A.arch, "--dataset", dataset,
+                    "--steps", steps, "--batch_size", "128",
+                    "--out", path])
     return path
 
 
@@ -97,12 +101,14 @@ if A.only:
 
 def run_one(tag, dataset, mode, nbw, nba, extra):
     ck = ensure_trained(dataset)
-    argv = ["--dataset", dataset, "--arch", "resnet18",
+    argv = ["--dataset", dataset, "--arch", A.arch,
             "--pretrained", ck, "--mode", mode,
             "--n_bits_w", str(nbw), "--n_bits_a", str(nba),
             "--iters_w", str(A.iters), "--iters_a", str(A.iters_a),
             "--num_samples", "256", "--batch_size", "64",
-            "--checkpoint_dir", f"./checkPoint/acc_{dataset}_{tag}",
+            "--checkpoint_dir",
+            f"./checkPoint/acc_{dataset}_{A.arch}_{tag}"
+            if A.arch != "resnet18" else f"./checkPoint/acc_{dataset}_{tag}",
             "--log_path", f"/tmp/acc_{dataset}_{tag}_W{nbw}A{nba}.log",
             ] + extra
     buf = io.StringIO()
@@ -147,12 +153,13 @@ def deploy_eval(dataset, nbw, nba, tag):
     from shiftedscalequantization_tpu.train import load_raw_params
     from shiftedscalequantization_tpu.utils import checkpoint as ckpt
 
-    graph, _ = zoo.build("resnet18", dataset=dataset)
+    graph, _ = zoo.build(A.arch, dataset=dataset)
     raw = load_raw_params(CKPTS[dataset])
     cfg = ssq.QuantConfig(n_bits_w=nbw, n_bits_a=nba)
     params, _ = ssq.prepare_model(graph, raw, cfg)
-    qstate, _ = ckpt.load_qstate(
-        f"./checkPoint/acc_{dataset}_{tag}/QNN_W{nbw}_A{nba}")
+    cdir = (f"./checkPoint/acc_{dataset}_{A.arch}_{tag}"
+            if A.arch != "resnet18" else f"./checkPoint/acc_{dataset}_{tag}")
+    qstate, _ = ckpt.load_qstate(f"{cdir}/QNN_W{nbw}_A{nba}")
     if dataset == "digits":
         from shiftedscalequantization_tpu.data.realdata import digits_arrays
         _, _, x_te, y_te = digits_arrays()
@@ -210,7 +217,7 @@ if A.quick:
 lines = [
     "# Accuracy: trained weights through the full PTQ pipeline",
     "",
-    f"ResNet-18 (CIFAR variant) trained on-device (train.py), then the",
+    f"{A.arch} (CIFAR variant) trained on-device (train.py), then the",
     f"full shifted-scale pipeline (cli.py). iters_w={A.iters},",
     f"iters_a={A.iters_a}, 256 calibration samples, platform={A.platform}.",
     "Reference story being mirrored: FP -> quant-init -> per-layer recon",
