@@ -73,6 +73,10 @@ def build_data(args):
 
 def main(argv=None):
     args = load_args(argv)
+    if args.platform == "cpu":
+        # must happen before the first backend query (jax.devices below);
+        # the env var alone is ignored on this box (CLAUDE.md landmine 1)
+        jax.config.update("jax_platforms", "cpu")
     seed_all(args.seed)
     log = RunLog(args.log_path or f"{args.run_device.replace(':', '_')}.log")
     timer = Timer()

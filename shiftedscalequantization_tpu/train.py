@@ -295,7 +295,13 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--eval_every", type=int, default=1000)
     ap.add_argument("--out", default="trained_{arch}_{dataset}.npz")
+    ap.add_argument("--platform", default="auto", choices=["auto", "cpu"],
+                    help="cpu forces the local backend (the env var is "
+                         "ignored on this platform — CLAUDE.md; also the "
+                         "safe choice when the remote device is wedged)")
     args = ap.parse_args(argv)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from .models import zoo
     graph, _ = zoo.build(args.arch, num_classes=10, dataset="cifar10")

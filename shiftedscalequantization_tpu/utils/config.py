@@ -17,6 +17,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     # general (common.py:24-30)
     p.add_argument("--seed", default=1005, type=int)
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
+                   help="cpu forces the local backend (the JAX_PLATFORMS "
+                        "env var is ignored on this box; also the safe "
+                        "choice when the remote accelerator is wedged)")
     p.add_argument("--arch", default="resnet18", type=str,
                    choices=["resnet18", "resnet34", "resnet50", "resnet101",
                             "resnet152", "mobilenetv2", "regnetx_600m",
