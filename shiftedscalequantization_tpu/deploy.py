@@ -56,6 +56,12 @@ class DeployUnit:
     w_packed: Optional[jax.Array] = None      # (ceil(K/f), OC) int32
     w_pack_zp: Optional[jax.Array] = None     # (OC,) weight zero points
     w_pack_bits: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # block-diagonal densification of a narrow grouped conv (RegNetX):
+    # when total in_ch <= 128 the dense form still fits ONE MXU lane tile,
+    # so the redundant off-diagonal zeros cost nothing while the grouped
+    # form pays per-group dispatch — measured 2.2x faster on the 48ch/g2
+    # 112px stage (grouped_conv_probe.py). Exact: zeros contribute 0.
+    w_int_bd: Optional[jax.Array] = None      # (OC, IC, KH, KW) int8
 
 
 def _hard_weight_codes(wq, w):
@@ -130,6 +136,19 @@ def build_deploy_params(graph: Graph, params, qstate,
             du = DeployUnit(
                 w_int=centered.astype(jnp.int8), w_fp=None,
                 scale=scale_oc * a_out, bias=b * a_out + b_out)
+            # narrow grouped conv (not depthwise): densified block-diagonal
+            # codes for the int8_bd plan kind (see DeployUnit.w_int_bd)
+            if (u.kind == "conv" and 1 < u.groups < u.in_ch
+                    and u.in_ch <= 128):
+                gw = u.in_ch // u.groups
+                ocg = u.out_ch // u.groups
+                dense = jnp.zeros(
+                    (u.out_ch, u.in_ch) + centered.shape[2:], jnp.int8)
+                for g in range(u.groups):
+                    dense = dense.at[g * ocg:(g + 1) * ocg,
+                                     g * gw:(g + 1) * gw].set(
+                        centered[g * ocg:(g + 1) * ocg].astype(jnp.int8))
+                du = dataclasses.replace(du, w_int_bd=dense)
             # sub-byte packed form for fc / 1x1 convs at W2/W4 (SSQ_PACKED
             # deploy plan kind): raw codes in [0, 2^bits) packed K-major
             n_bits_w = uq.wq.qp.n_bits
@@ -263,10 +282,48 @@ def space_to_depth(x_nhwc: jax.Array) -> jax.Array:
     return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
-def make_deploy_plan(graph: Graph, dparams: dict, act_steps: dict) -> dict:
+def _unit_in_hw(graph: Graph, input_hw) -> dict:
+    """unit name -> input spatial size, walking the graph like
+    utils/profiling.graph_flops (downsample units see the block input)."""
+    def conv_out(hw, u):
+        return ((hw[0] + 2 * u.padding[0] - u.kernel[0]) // u.stride[0] + 1,
+                (hw[1] + 2 * u.padding[1] - u.kernel[1]) // u.stride[1] + 1)
+
+    hw = input_hw
+    out = {}
+    for node in graph:
+        if isinstance(node, OpSpec):
+            if node.op == "maxpool":
+                hw = ((hw[0] + 2 * node.padding[0] - node.window[0])
+                      // node.stride[0] + 1,
+                      (hw[1] + 2 * node.padding[1] - node.window[1])
+                      // node.stride[1] + 1)
+            elif node.op in ("gap", "avgpool"):
+                hw = (1, 1)
+            continue
+        if isinstance(node, UnitSpec):
+            out[node.name] = hw
+            if node.kind == "conv":
+                hw = conv_out(hw, node)
+            continue
+        if node.downsample is not None:
+            out[node.downsample.name] = hw
+        for u in node.units:
+            out[u.name] = hw
+            if u.kind == "conv":
+                hw = conv_out(hw, u)
+    return out
+
+
+def make_deploy_plan(graph: Graph, dparams: dict, act_steps: dict,
+                     input_hw=(224, 224)) -> dict:
     """Static execution plan: unit -> (kind, feeding site), kind in:
 
       'int8'      — feeding codes fit int8: single MXU int conv
+      'int8_bd'   — narrow grouped conv run as a DENSE block-diagonal int8
+                    conv (w_int_bd): in_ch <= 128 keeps the dense form in
+                    one MXU lane tile, measured up to 2.2x over the grouped
+                    bf16 path on RegNetX stage 1-2 (grouped_conv_probe.py)
       'int8_pair' — 8-bit unsigned feeding codes (zp==0): split q into
                     high/low nibbles, two int8 convs, acc = 16*hi + lo —
                     exact, and ~3x faster than the f32-HIGHEST fallback
@@ -289,11 +346,11 @@ def make_deploy_plan(graph: Graph, dparams: dict, act_steps: dict) -> dict:
     import os
     thin = int(os.environ.get("SSQ_THIN_CHANNELS", "128"))
     return _make_plan(graph, dparams, act_steps, use_s2d_stem=False,
-                      thin_channels=thin)
+                      thin_channels=thin, input_hw=input_hw)
 
 
 def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
-               thin_channels: int = 128):
+               thin_channels: int = 128, input_hw=(224, 224)):
     import os
 
     import numpy as np
@@ -347,12 +404,26 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
                 and nxt.window == (3, 3) and nxt.stride == (2, 2)
                 and nxt.padding == (1, 1)):
             stem_unit = nd.name
+    unit_hw = _unit_in_hw(graph, input_hw)
     plan = {}
     for u in iter_units(graph):
         d = dparams[u.name]
         site = feed[u.name]
         kind = "float"
         thin = min(u.out_ch, u.in_ch // u.groups) < thin_channels
+        # narrow grouped convs (RegNetX f.b, group width < 128): the thin
+        # rule misjudges them — measured on v5e (grouped_conv_probe.py) the
+        # int8 paths beat grouped bf16 everywhere except tiny 7px stage-4
+        # maps. Dense block-diagonal when the whole conv fits one lane
+        # tile; plain int8 grouped at >= 14px; bf16_codes only below.
+        if (u.kind == "conv" and 1 < u.groups < u.in_ch
+                and site in int8_sites):
+            if d.w_int_bd is not None and d.w_groups is None:
+                plan[u.name] = ("int8_bd", site)
+                continue
+            if d.w_int is not None and min(unit_hw[u.name]) >= 14:
+                plan[u.name] = ("int8", site)
+                continue
         # fused VPU depthwise kernel: feed codes AND the unit's own output
         # codes must both fit centered int8 (the kernel reads/writes int8)
         if (use_dw_kernel and d.w_int is not None and u.kind == "conv"
@@ -681,7 +752,7 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                 sc, d.bias, d_in, zpv, d.w_pack_bits, n_bits,
                 interpret=interp)
             return out.reshape(*lead, -1)
-        if kind_plan in ("int8", "int8_pair", "bf16_codes"):
+        if kind_plan in ("int8", "int8_bd", "int8_pair", "bf16_codes"):
             delta, zp, n_bits = act_steps[feed_site]
             if kind_plan == "bf16_codes":
                 # centered codes as exact bf16 operands, f32 accumulate
@@ -709,10 +780,15 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                     return jax.lax.dot_general(
                         xc, wb.T, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-            elif kind_plan == "int8":
+            elif kind_plan in ("int8", "int8_bd"):
                 xi = t if vkind == "codes" \
                     else _quant_centered(t, delta, zp, n_bits)
-                acc_fn = lambda wg: _int_acc(spec, xi, wg)
+                if kind_plan == "int8_bd":
+                    # dense block-diagonal codes (exact: zeros contribute 0)
+                    acc_fn = lambda wg: _int_conv(
+                        xi, d.w_int_bd, spec.stride, spec.padding, 1)
+                else:
+                    acc_fn = lambda wg: _int_acc(spec, xi, wg)
             else:
                 # 8-bit unsigned codes (zp==0): q = 16*hi + lo, both
                 # nibbles in [0,16) -> two exact int8 convs
