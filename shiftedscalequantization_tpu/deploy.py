@@ -389,6 +389,18 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
     # absorbs the rounding; stem_drift_check.py). SSQ_STEM_1PASS=0
     # restores the exact 2-pass split.
     stem_1pass = os.environ.get("SSQ_STEM_1PASS", "1") != "0"
+    # OPT-IN single-pass bf16 for every float-kind unit whose weights are
+    # integer codes (not just the <=4-channel stem): f32 edges appear
+    # wherever sim semantics force exact transport (siteless residual
+    # chains — MNASNet — gap->fc tails, per-channel act-shift sites), and
+    # the 2-pass hi/lo activation split doubles the MXU cost of every conv
+    # they feed. NOT a serving default: unlike the stem (whose own requant
+    # absorbs the ~2^-9 activation rounding — measured bit-identical), the
+    # rounding here lands on values feeding 4-bit act grids across long
+    # siteless chains; flipped codes compound (measured 0.45 max rel logit
+    # drift / 38% argmax agreement on random-weight W2A4 MNASNet). Kept as
+    # SSQ_FLOAT_1PASS=1 for perf-ceiling probes only.
+    float_1pass = os.environ.get("SSQ_FLOAT_1PASS", "0") == "1"
     nodes = list(graph)
     stem_unit = None
     if use_stem_kernel and len(nodes) >= 2:
@@ -461,6 +473,8 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
             kind = "stem_fused"
         if stem_1pass and kind == "float" and u.kind == "conv" \
                 and u.in_ch <= 4:
+            kind = "float_1p"
+        if float_1pass and kind == "float" and d.w_int is not None:
             kind = "float_1p"
         plan[u.name] = (kind, site)
     plan["__fused_stem__"] = stem_unit
@@ -570,6 +584,12 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
     _use_pairs = os.environ.get(
         "SSQ_PAIR_TRANSPORT",
         "0" if jax.default_backend() == "tpu" else "1") != "0"
+    # term cap for the deferred code sums. Default 2 (one projection + one
+    # code residual): deeper chains materialize f32, bounding both the
+    # cross-block liveness of code tensors and the per-consumer conv count
+    # — the two prime suspects for the XLA:TPU compile wedge (NEXT.md #1),
+    # and >2 int8 terms cost more MXU than the 2-pass split they replace.
+    _pair_terms = max(2, int(os.environ.get("SSQ_PAIR_TERMS", "2")))
 
     def to_float(v):
         kind, t, site = v
@@ -819,21 +839,15 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             # materialization of the sum (MNASNet stage tails)
             if vkind == "pair" and kind_plan == "float" \
                     and d.w_int is not None:
-                w_b = d.w_int.astype(jnp.bfloat16)
-
-                def _code_pass(tc):
-                    xb = tc.astype(jnp.bfloat16)     # |codes| <= 127: exact
-                    if spec.kind == "conv":
-                        return conv2d(xb, w_b, None, spec.stride,
-                                      spec.padding, spec.groups,
-                                      preferred_element_type=jnp.float32)
-                    return jax.lax.dot_general(
-                        xb, w_b.T, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-
+                # each term's codes are int8 by construction, so run one
+                # int8 MXU conv per term (int8 ~1.4x bf16 per op on v5e —
+                # BENCHMARKS.md isolated ops): 2 int8 terms cost ~0.7 of
+                # the 2-pass hi/lo bf16 split they replace, and the sum is
+                # exact (conv is linear over q1*d1 + q2*d2)
                 acc = None
                 for _, tc, sc_site in t:
-                    term = _code_pass(tc) * act_steps[sc_site][0]
+                    term = _int_acc(spec, tc, d.w_int).astype(jnp.float32) \
+                        * act_steps[sc_site][0]
                     acc = term if acc is None else acc + term
                 return _Pending(acc, d.scale, d.bias)
             xf = to_float(v)
@@ -938,11 +952,12 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                     and isinstance(t, tuple) and t[0] == "codes"
                     and isinstance(res_v, tuple)
                     and res_v[0] in ("codes", "pair")
-                    and (res_v[0] == "codes" or len(res_v[1]) < 3)):
+                    and (res_v[0] == "codes"
+                         or len(res_v[1]) < _pair_terms)):
                 # siteless residual of code grids: defer the sum to the
                 # consumer, which decomposes conv(sum q_i*d_i) into one
-                # exact code conv per term (capped at 3 terms; deeper
-                # chains materialize f32 below)
+                # exact int8 code conv per term (capped at SSQ_PAIR_TERMS;
+                # deeper chains materialize f32 below)
                 terms = (res_v,) if res_v[0] == "codes" else res_v[1]
                 v = ("pair", (t,) + tuple(terms), None)
             else:
