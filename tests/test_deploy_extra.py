@@ -171,3 +171,34 @@ class TestSitelessBlockTransport:
         rel = float(jnp.abs(sim - dep).mean() / (jnp.abs(sim).mean() + 1e-9))
         assert rel < 0.03, rel
         assert int(np.asarray(sim).argmax()) == int(np.asarray(dep).argmax())
+
+    def test_pair_term_cap(self, monkeypatch):
+        """SSQ_PAIR_TERMS caps the deferred code-sum depth (liveness bound
+        for the XLA:TPU compile probe, NEXT.md #1): both cap settings must
+        stay tight vs sim — a capped chain materializes f32, which is
+        exact, and the int8 pair-term convs are exact by linearity."""
+        import jax as _jax
+        from shiftedscalequantization_tpu.models import resnet as _resnet
+        from shiftedscalequantization_tpu.models import zoo
+        graph, _ = zoo.build("mnasnet", dataset="imagenet")
+        raw = _resnet.init_params(_jax.random.PRNGKey(0), graph)
+        cfg = ssq.QuantConfig(n_bits_w=4, n_bits_a=8,
+                              w_scale_method="max", a_scale_method="max")
+        params, qstate = ssq.prepare_model(graph, raw, cfg)
+        x = _jax.random.normal(_jax.random.PRNGKey(1), (1, 64, 64, 3))
+        qstate = ssq.calibrate_acts(graph, params, qstate, x, cfg)
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        flags = act_flags(graph, cfg, base=ssq.Flags().all_weights(graph))
+        sim = ssq.forward(graph, params, qstate, x, flags)
+        plan = deploy.make_deploy_plan(graph, dparams, steps,
+                                       input_hw=(64, 64))
+        for cap in ("2", "3"):
+            monkeypatch.setenv("SSQ_PAIR_TERMS", cap)
+            dep = deploy.deploy_forward(graph, dparams, steps, x, plan=plan)
+            rel = float(jnp.abs(sim - dep).mean()
+                        / (jnp.abs(sim).mean() + 1e-9))
+            # 64px leaves a 2x2 final map, so the accepted 1-ulp tie
+            # flips carry ~12x the relative weight of the 224px tight
+            # test above (which pins < 0.03 on the same code path)
+            assert rel < 0.06, (cap, rel)
