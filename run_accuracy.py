@@ -88,6 +88,10 @@ RUNS = [
     ("fused", "synth10", "fused", 4, 4, []),
     ("brecq", "synth10", "brecq", 2, 4, []),
     ("brecq", "digits", "brecq", 2, 4, []),
+    # bit-width sweep on the real-image dataset: recovery should order
+    # W2 < W3 < W4 at a fixed recon budget (reference spans W2..W8)
+    ("brecq", "digits", "brecq", 3, 4, []),
+    ("brecq", "digits", "brecq", 4, 4, []),
     ("fused+beta", "digits", "fused", 2, 4,
      ["--opt_beta", "true", "--act_mode", "delta"]),
 ]
