@@ -545,6 +545,11 @@ def _int_conv(x_int8, w_int8_oihw, stride, padding, groups):
         preferred_element_type=jnp.int32)
 
 
+# trace-time counters reset by each deploy_forward call (see docstring);
+# only meaningful right after a non-cached (tracing) invocation
+pair_stats = {"formed": 0, "consumed_fast": 0}
+
+
 def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                    plan: Optional[dict] = None):
     """Integer inference. ``act_steps`` from act_steps_from_qstate; ``plan``
@@ -564,6 +569,10 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
     Value representation between nodes: ('codes', int8_codes, site) or
     ('f32', tensor, None).
     """
+    # trace-time introspection for tests: how many pair values formed and
+    # how many consumers took the decomposed int8 fast path this trace
+    pair_stats["formed"] = 0
+    pair_stats["consumed_fast"] = 0
     if plan is None:
         plan = make_deploy_plan(graph, dparams, act_steps)
     _int8_sites = plan["__int8_sites__"]
@@ -589,7 +598,12 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
     # cross-block liveness of code tensors and the per-consumer conv count
     # — the two prime suspects for the XLA:TPU compile wedge (NEXT.md #1),
     # and >2 int8 terms cost more MXU than the 2-pass split they replace.
-    _pair_terms = max(2, int(os.environ.get("SSQ_PAIR_TERMS", "2")))
+    _env_terms = int(os.environ.get("SSQ_PAIR_TERMS", "2"))
+    # values <2 disable pair formation entirely (an alias for
+    # SSQ_PAIR_TRANSPORT=0, handy for compile-wedge bisection); the
+    # decomposition itself needs >=2 terms (projection + one residual)
+    _use_pairs = _use_pairs and _env_terms >= 2
+    _pair_terms = max(2, _env_terms)
 
     def to_float(v):
         kind, t, site = v
@@ -838,12 +852,16 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             # replace BOTH the 2-pass hi/lo float split and the f32
             # materialization of the sum (MNASNet stage tails)
             if vkind == "pair" and kind_plan == "float" \
-                    and d.w_int is not None:
+                    and d.w_int is not None and d.w_groups is None:
+                # (w_groups units skip this: their codes need the per-
+                # candidate scale table; they take the fallthrough below,
+                # which folds the table back into the weight)
                 # each term's codes are int8 by construction, so run one
                 # int8 MXU conv per term (int8 ~1.4x bf16 per op on v5e —
                 # BENCHMARKS.md isolated ops): 2 int8 terms cost ~0.7 of
                 # the 2-pass hi/lo bf16 split they replace, and the sum is
                 # exact (conv is linear over q1*d1 + q2*d2)
+                pair_stats["consumed_fast"] += 1
                 acc = None
                 for _, tc, sc_site in t:
                     term = _int_acc(spec, tc, d.w_int).astype(jnp.float32) \
@@ -862,6 +880,16 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             # BENCHMARKS.md per-segment table) runs here.
             w_eff = (d.w_int if d.w_int is not None else d.w_fp
                      ).astype(jnp.float32)
+            if d.w_groups is not None:
+                # baked shift-table unit on a float edge: fold the per-
+                # candidate scale table back into the weight
+                # (group_scales/scale == the shift target per candidate);
+                # same ~2^-9 bf16 weight rounding the cmax>127 baked
+                # branch accepts — plain w_int here would drop the shifts
+                ratio = (d.group_scales / d.scale[None, :]).reshape(
+                    (d.w_groups.shape[0], -1) + (1,) * (w_eff.ndim - 1))
+                w_eff = jnp.sum(d.w_groups.astype(jnp.float32) * ratio,
+                                axis=0)
             sc = d.scale
             if kind_plan == "float_s2d":
                 xf = space_to_depth(xf)
@@ -959,6 +987,7 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                 # exact int8 code conv per term (capped at SSQ_PAIR_TERMS;
                 # deeper chains materialize f32 below)
                 terms = (res_v,) if res_v[0] == "codes" else res_v[1]
+                pair_stats["formed"] += 1
                 v = ("pair", (t,) + tuple(terms), None)
             else:
                 v = quantize_out(t, node.name, node.post_activation,

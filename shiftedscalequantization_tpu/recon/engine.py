@@ -374,9 +374,9 @@ def reconstruct_node(graph, params, qstate, node_name: str,
     # nodes (same specs modulo name) then share one compiled step — see the
     # module-level _recon_chunk_jit note. Node names differ per layer, so
     # specs are renamed to position-canonical names for the cache key.
-    node_c, params_sub, qstate_sub, flags_c = _canonicalize(
+    node_c, params_sub, qstate_sub, flags_c, canon = _canonicalize(
         node, params, qstate, flags, unit_names)
-    theta = {_CANON[n]: theta[n] for n in theta}
+    theta = {canon[n]: theta[n] for n in theta}
 
     tx = optax.adam(s.lr)
     opt_state = tx.init(theta)
@@ -419,7 +419,7 @@ def reconstruct_node(graph, params, qstate, node_name: str,
                 done += nsteps
             metrics["rec_trace"] = jnp.concatenate(traces)
 
-    theta = {n: theta[_CANON[n]] for n in unit_names if _CANON[n] in theta}
+    theta = {n: theta[canon[n]] for n in unit_names if canon[n] in theta}
     qstate = _insert_theta(qstate, theta)
 
     # soft vs hard loss on the first batch (reference
@@ -430,7 +430,7 @@ def reconstruct_node(graph, params, qstate, node_name: str,
         if cached_grads is not None else None
 
     def eval_rec(qs):
-        qs_sub = {_CANON[n]: qs[n] for n in unit_names}
+        qs_sub = {canon[n]: qs[n] for n in unit_names}
         return _eval_rec_jit(node_c, flags_c, s.rec_loss, p_norm, params_sub,
                              qs_sub, xb, yb, gb0)
 
@@ -441,21 +441,16 @@ def reconstruct_node(graph, params, qstate, node_name: str,
     return qstate, metrics
 
 
-# real unit name -> position-canonical name ("__u{i}__"), filled by
-# _canonicalize; a real name belongs to exactly one node, so entries are
-# stable across calls
-_CANON: dict = {}
-
-
 def _canonicalize(node, params, qstate, flags, unit_names):
     """Rename the node's unit specs to position-canonical names so that
     geometrically identical nodes (e.g. ResNet layer1.0 vs layer1.1) hash
     to the SAME jit cache key. Returns (node', params_sub, qstate_sub,
-    flags') under the canonical names; _CANON maps real -> canonical."""
+    flags', mapping) with mapping: real unit name -> canonical name —
+    returned per-call (not a process global) so two graphs reusing a unit
+    name at different positions cannot cross-wire."""
     mapping = {}
     for i, n in enumerate(unit_names):
         mapping[n] = f"__u{i}__"
-    _CANON.update(mapping)
 
     def rename_unit(u):
         return dataclasses.replace(u, name=mapping[u.name])
@@ -474,7 +469,7 @@ def _canonicalize(node, params, qstate, flags, unit_names):
         flags, weight_on=frozenset(mapping[n] for n in flags.weight_on
                                    if n in mapping),
         act_on=frozenset(mapping[n] for n in flags.act_on if n in mapping))
-    return node_c, params_sub, qstate_sub, flags_c
+    return node_c, params_sub, qstate_sub, flags_c, mapping
 
 
 def selection_ratios(qstate, unit_names):

@@ -193,6 +193,7 @@ class TestSitelessBlockTransport:
         sim = ssq.forward(graph, params, qstate, x, flags)
         plan = deploy.make_deploy_plan(graph, dparams, steps,
                                        input_hw=(64, 64))
+        formed = {}
         for cap in ("2", "3"):
             monkeypatch.setenv("SSQ_PAIR_TERMS", cap)
             dep = deploy.deploy_forward(graph, dparams, steps, x, plan=plan)
@@ -202,3 +203,35 @@ class TestSitelessBlockTransport:
             # flips carry ~12x the relative weight of the 224px tight
             # test above (which pins < 0.03 on the same code path)
             assert rel < 0.06, (cap, rel)
+            # the cap must actually be exercised, not vacuously pass via
+            # f32 materialization: pairs form AND the int8 fast path runs
+            assert deploy.pair_stats["formed"] > 0, cap
+            assert deploy.pair_stats["consumed_fast"] > 0, cap
+            formed[cap] = dict(deploy.pair_stats)
+        # SSQ_PAIR_TERMS<2 is the documented off switch (alias for
+        # SSQ_PAIR_TRANSPORT=0): no pairs may form at all
+        monkeypatch.setenv("SSQ_PAIR_TERMS", "0")
+        dep0 = deploy.deploy_forward(graph, dparams, steps, x, plan=plan)
+        assert deploy.pair_stats["formed"] == 0
+        rel0 = float(jnp.abs(sim - dep0).mean()
+                     / (jnp.abs(sim).mean() + 1e-9))
+        assert rel0 < 0.06, rel0
+        # cap differentiation needs chains deeper than 2, which requires
+        # code-form (4-bit) unit sites: W4A8's 8-bit zp=0 sites travel as
+        # 'biased', which never join pairs — so check trace shape at W2A4
+        cfg2 = ssq.QuantConfig(n_bits_w=2, n_bits_a=4,
+                               w_scale_method="max", a_scale_method="max")
+        params2, qstate2 = ssq.prepare_model(graph, raw, cfg2)
+        qstate2 = ssq.calibrate_acts(graph, params2, qstate2, x, cfg2)
+        dparams2 = deploy.build_deploy_params(graph, params2, qstate2)
+        steps2 = deploy.act_steps_from_qstate(graph, qstate2)
+        plan2 = deploy.make_deploy_plan(graph, dparams2, steps2,
+                                        input_hw=(64, 64))
+        counts = {}
+        for cap in ("2", "3"):
+            monkeypatch.setenv("SSQ_PAIR_TERMS", cap)
+            deploy.deploy_forward(graph, dparams2, steps2, x, plan=plan2)
+            counts[cap] = dict(deploy.pair_stats)
+        # a deeper cap lets later blocks in a 3+-deep stage keep deferring
+        # instead of materializing f32: strictly more pairs must form
+        assert counts["3"]["formed"] > counts["2"]["formed"], counts
