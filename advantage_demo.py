@@ -1,0 +1,170 @@
+"""Shifted-scale advantage demo: the regime the method exists for.
+
+The reference's whole point (README.md:20-27) is beating plain BRECQ by
+letting each (out-channel, input-channel) pair pick a shifted weight-quant
+step (channelQuant.py shiftTarget, e.g. {1/2, 1}). On this repo's
+on-device-trained models, per-input-channel scale variance is mild and
+fused+beta <= brecq everywhere (ACCURACY.md). This script constructs the
+failure mode the method targets — per-INPUT-channel scale mismatch — in a
+function-preserving way, then runs both methods at an equal budget:
+
+  For every BasicBlock's conv1 -> relu -> conv2 pair (conv1's output
+  feeds ONLY conv2), split conv2's input channels into thirds: scale one
+  third by 2x and one third by 4x (conv2.w[:, c] *= s), compensating
+  exactly in conv1's BN affine (gamma[c] /= s, beta[c] /= s). ReLU is
+  positive-homogeneous, so the FP function is bit-for-bit unchanged up to
+  fp rounding — verified below — but conv2's per-OC quantization step now
+  faces ICs whose scales span 4x: at W2 (4 levels) the unscaled channels
+  are crushed. Candidates {1/4, 1/2, 1} repair exactly that, per
+  channelQuant.py:6-307's selection mechanism.
+
+Usage: python advantage_demo.py [--iters 2000] [--quick]
+Writes round3_logs/advantage_demo.json; ACCURACY.md section is written by
+the caller once results are in.
+"""
+import argparse
+import contextlib
+import io
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--iters", type=int, default=2000)
+ap.add_argument("--iters_a", type=int, default=300)
+ap.add_argument("--quick", action="store_true")
+ap.add_argument("--dataset", default="digits")
+ap.add_argument("--seed", type=int, default=7)
+ap.add_argument("--out", default="round3_logs/advantage_demo.json")
+A = ap.parse_args()
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+os.makedirs("/tmp/jax_cache_cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+
+SRC = f"trained_resnet18_{A.dataset}.npz"
+DST = f"trained_resnet18_{A.dataset}_imbalanced.npz"
+
+if A.quick:
+    A.iters, A.iters_a = 4, 4
+
+
+def make_imbalanced(src: str, dst: str, seed: int):
+    """Per-IC rescale of every block conv2, compensated in conv1's BN."""
+    d = dict(np.load(src))
+    rng = np.random.RandomState(seed)
+    report = {}
+    for k in sorted(d):
+        m = re.match(r"(model\.layer\d\.\d)\.conv2/w$", k)
+        if not m:
+            continue
+        blk = m.group(1)
+        w2 = d[k]                      # (OC, IC, KH, KW)
+        ic = w2.shape[1]
+        perm = rng.permutation(ic)
+        s = np.ones(ic, np.float32)
+        s[perm[: ic // 3]] = 2.0
+        s[perm[ic // 3: 2 * (ic // 3)]] = 4.0
+        d[k] = (w2 * s[None, :, None, None]).astype(w2.dtype)
+        # conv1's BN affine is the last op before the relu feeding conv2
+        for leaf in ("gamma", "beta"):
+            kk = f"{blk}.conv1/bn/{leaf}"
+            d[kk] = (d[kk] / s).astype(d[kk].dtype)
+        report[blk] = {"ic": ic, "x2": int((s == 2).sum()),
+                       "x4": int((s == 4).sum())}
+    np.savez(dst, **d)
+    return report
+
+
+def fp_check():
+    """FP function must be unchanged by the transform."""
+    import jax.numpy as jnp
+
+    import shiftedscalequantization_tpu as ssq
+    from shiftedscalequantization_tpu.models import zoo
+    from shiftedscalequantization_tpu.train import load_raw_params
+
+    graph, _ = zoo.build("resnet18", dataset=A.dataset)
+    cfg = ssq.QuantConfig(n_bits_w=8, n_bits_a=8)
+    outs = []
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    for path in (SRC, DST):
+        raw = load_raw_params(path)
+        params, qstate = ssq.prepare_model(graph, raw, cfg)
+        outs.append(ssq.forward(graph, params, qstate, x, ssq.Flags()))
+    rel = float(jnp.abs(outs[0] - outs[1]).max() /
+                (jnp.abs(outs[0]).max() + 1e-9))
+    return rel
+
+
+def run_cli(tag, mode, extra):
+    from shiftedscalequantization_tpu import cli
+    argv = ["--dataset", A.dataset, "--arch", "resnet18",
+            "--pretrained", DST, "--mode", mode,
+            "--n_bits_w", "2", "--n_bits_a", "4",
+            "--iters_w", str(A.iters), "--iters_a", str(A.iters_a),
+            "--num_samples", "256", "--batch_size", "64",
+            "--checkpoint_dir", f"./checkPoint/adv_{A.dataset}_{tag}",
+            "--log_path", f"/tmp/adv_{A.dataset}_{tag}.log"] + extra
+    buf = io.StringIO()
+
+    class Tee(io.TextIOBase):
+        def write(self, s):
+            buf.write(s)
+            sys.__stdout__.write(s)
+            return len(s)
+
+    t0 = time.time()
+    with contextlib.redirect_stdout(Tee()):
+        final = cli.main(argv)
+    out = buf.getvalue()
+    fp = re.findall(r"accuracy of FP model: \{'top1': ([\d.]+)", out)
+    init = re.findall(r"accuracy of qnn \(with cal\.\): \{'top1': ([\d.]+)",
+                      out)
+    traj = re.findall(r"accuracy of qnn_hard (\S+): \{'top1': ([\d.]+)", out)
+    ratios = re.findall(r"selection ratio (\S+): (\[.*\])", out)
+    return {
+        "tag": tag, "iters": A.iters,
+        "fp_top1": float(fp[0]) if fp else None,
+        "init_top1": float(init[0]) if init else None,
+        "trajectory": [(n, float(a)) for n, a in traj],
+        "final": final, "wall_s": round(time.time() - t0, 1),
+        "selection_ratios": {n: json.loads(r) for n, r in ratios},
+    }
+
+
+report = make_imbalanced(SRC, DST, A.seed)
+print("imbalance report:", json.dumps(report))
+rel = fp_check()
+print(f"FP parity after transform: max rel diff {rel:.2e}")
+assert rel < 1e-4, rel
+
+runs = [
+    ("brecq", "brecq", []),
+    # fused+beta with the reference's coarse candidate set {1/4,1/2,1}
+    # (channelQuant shiftTarget role; README-documented flags wired real)
+    ("fused+beta", "fused", ["--opt_beta", "true", "--act_mode", "delta",
+                             "--shift_targets", "0.25,0.5,1.0"]),
+]
+results = {"imbalance": report, "fp_rel": rel, "runs": []}
+for tag, mode, extra in runs:
+    print(f"\n===== advantage demo: {tag} (iters={A.iters}) =====")
+    res = run_cli(tag, mode, extra)
+    print(json.dumps(
+        {k: v for k, v in res.items() if k != "selection_ratios"},
+        default=str))
+    results["runs"].append(res)
+    os.makedirs(os.path.dirname(A.out), exist_ok=True)
+    with open(A.out, "w") as f:
+        json.dump(results, f, indent=1, default=str)
+print(f"wrote {A.out}")

@@ -175,6 +175,12 @@ def main(argv=None):
         hl = float(metrics.get("hard_loss", jnp.nan))
         print(f"Reconstructed {name}: soft {sl:.6f} -> hard {hl:.6f} "
               f"({metrics['wall_s']:.1f}s)")
+        sr = metrics.get("selection_ratio")
+        if sr:
+            # reference print_ratio (layer_recon_fused_shiftedScale.py:13-21)
+            for unit, ratios in sr.items():
+                vals = np.asarray(ratios).round(4).tolist()
+                print(f"selection ratio {unit}: {vals}")
         done.append(name)
         ckpt.save_qstate(recon_ckpt, qs, done=done)  # per-layer resume point
         if not args.skip_test:

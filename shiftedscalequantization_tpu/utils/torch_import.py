@@ -31,6 +31,11 @@ def load_state_dict(path: str) -> dict:
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    # the BRECQ mobilenetv2.pth.tar release wraps the flat state dict as
+    # {'model': sd} (reference trash/hubconf.py:38)
+    if isinstance(sd, dict) and "model" in sd \
+            and not any(hasattr(v, "shape") for v in sd.values()):
+        sd = sd["model"]
     return {k.removeprefix("module."): _to_np(v) for k, v in sd.items()}
 
 
