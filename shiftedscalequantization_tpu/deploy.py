@@ -455,12 +455,23 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
             zpv = float(np.asarray(zp).reshape(-1)[0])
             fits_int8 = ((2 ** n_bits - 1) - zpv <= 127) and (-zpv >= -128)
             fits_bf16 = (2 ** n_bits - 1) <= 256  # codes bf16-exact
-            if thin and fits_bf16:
+            # thin units prefer exact bf16-code operands, EXCEPT dense
+            # convs at small spatial dims where the int8 path measures
+            # faster on v5e (thin_conv_probe.py: int8 wins the <=28px
+            # MNASNet 1x1s by ~0.3-0.4 ms each, loses at >=56px);
+            # depthwise stays bf16_codes at every size. SSQ_THIN_MINHW
+            # sets the bf16_codes floor (0 restores the round-2 rule).
+            thin_minhw = int(os.environ.get("SSQ_THIN_MINHW", "0"))
+            thin_bf16 = thin and (u.groups == u.in_ch
+                                  or min(unit_hw[u.name]) >= thin_minhw)
+            if thin_bf16 and fits_bf16:
                 kind = "bf16_codes"
             elif fits_int8:
                 kind = "int8"
             elif n_bits == 8 and zpv == 0.0:
                 kind = "int8_pair"
+            elif fits_bf16:
+                kind = "bf16_codes"
         # optional stem rewrite: 7x7/s2/p3 conv -> space-to-depth 4x4/s1.
         # Off by default: measured on v5e the input-relayout transpose costs
         # more than the improved MXU utilization saves (10.2 vs 9.0 ms/batch

@@ -44,14 +44,25 @@ def _inverted_residual(name, cin, cout, stride, t):
                      residual=use_res, post_activation=None)
 
 
-def build_mobilenetv2(num_classes: int = 1000, width_mult: float = 1.0):
+def build_mobilenetv2(num_classes: int = 1000, width_mult: float = 1.0,
+                      variant: str = "imagenet"):
+    """variant='cifar' keeps the reference block topology but moves the
+    stem and the first two downsamples to stride 1 (the standard 32x32
+    adaptation — otherwise 224-class stride schedule reduces a 32px input
+    to a 1x1 map before stage 3). The reference has no CIFAR MNV2; this
+    exists for the on-device accuracy harness (run_accuracy.py)."""
+    small = variant == "cifar"
     input_channel = int(32 * width_mult)
     last_channel = int(1280 * width_mult) if width_mult > 1.0 else 1280
-    nodes = [_conv("model.features.0.0", 3, input_channel, 3, 2, 1,
-                   act="relu6")]
+    nodes = [_conv("model.features.0.0", 3, input_channel, 3,
+                   1 if small else 2, 1, act="relu6")]
     idx = 1
     cin = input_channel
-    for t, c, n, s in _SETTINGS:
+    settings = _SETTINGS
+    if small:
+        settings = [(t, c, n, 1) for (t, c, n, s) in _SETTINGS[:2]] \
+            + list(_SETTINGS[2:])
+    for t, c, n, s in settings:
         cout = int(c * width_mult)
         for i in range(n):
             stride = s if i == 0 else 1

@@ -22,7 +22,7 @@ def build(arch: str, num_classes: int | None = None, dataset: str = "imagenet"):
         g = resnet.build_resnet(depth, num_classes=nc, variant=variant)
         return g, resnet.torch_key_map
     if arch == "mobilenetv2":
-        g = mobilenetv2.build_mobilenetv2(num_classes=nc)
+        g = mobilenetv2.build_mobilenetv2(num_classes=nc, variant=variant)
         return g, mobilenetv2.torch_key_map
     if arch.startswith("regnetx"):
         g = regnet.build_regnetx(arch, num_classes=nc)

@@ -29,6 +29,25 @@ def test_graph_structure(arch, blocks):
     assert set(km.keys()) == {u.name for u in units}
 
 
+def test_mobilenetv2_cifar_variant():
+    """32px variant: same block topology, stem + first two downsamples at
+    stride 1 (feature map must not collapse below 4x4 before the GAP)."""
+    graph, _ = zoo.build("mobilenetv2", dataset="synth10")
+    raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+    cfg = ssq.QuantConfig(n_bits_w=4, n_bits_a=8, w_scale_method="max")
+    params, qstate = ssq.prepare_model(graph, raw, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    last_conv = [u.name for u in iter_units(graph) if u.kind == "conv"][-1]
+    cap_in, _ = ssq.forward(graph, params, qstate, x, ssq.Flags(),
+                            capture=last_conv)
+    assert cap_in.shape[1] >= 4, cap_in.shape
+    out = ssq.forward(graph, params, qstate, x, ssq.Flags())
+    assert out.shape == (2, 10) and bool(jnp.isfinite(out).all())
+    # block count matches the imagenet topology (only strides change)
+    n_blocks = sum(1 for n in graph if isinstance(n, BlockSpec))
+    assert n_blocks == 17
+
+
 @pytest.mark.parametrize("arch,hw", [("mobilenetv2", 64), ("mnasnet", 64),
                                      ("regnetx_600m", 64)])
 def test_forward_shapes(arch, hw):
