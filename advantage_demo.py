@@ -39,8 +39,16 @@ ap.add_argument("--iters_a", type=int, default=300)
 ap.add_argument("--quick", action="store_true")
 ap.add_argument("--dataset", default="digits")
 ap.add_argument("--seed", type=int, default=7)
+ap.add_argument("--scales", default="1,2,4",
+                help="per-third input-channel scale factors applied to "
+                     "every block conv2 (compensated in conv1's BN)")
+ap.add_argument("--shift_targets", default="0.25,0.5,1.0",
+                help="candidate set for the fused run (1/scale of each "
+                     "factor repairs that third exactly)")
 ap.add_argument("--out", default="round3_logs/advantage_demo.json")
 A = ap.parse_args()
+SCALES = [float(s) for s in A.scales.split(",")]
+assert len(SCALES) == 3
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import jax  # noqa: E402
@@ -53,7 +61,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np  # noqa: E402
 
 SRC = f"trained_resnet18_{A.dataset}.npz"
-DST = f"trained_resnet18_{A.dataset}_imbalanced.npz"
+TAG = "x".join(f"{s:g}" for s in SCALES)
+DST = f"trained_resnet18_{A.dataset}_imbalanced_{TAG}.npz"
 
 if A.quick:
     A.iters, A.iters_a = 4, 4
@@ -72,16 +81,17 @@ def make_imbalanced(src: str, dst: str, seed: int):
         w2 = d[k]                      # (OC, IC, KH, KW)
         ic = w2.shape[1]
         perm = rng.permutation(ic)
-        s = np.ones(ic, np.float32)
-        s[perm[: ic // 3]] = 2.0
-        s[perm[ic // 3: 2 * (ic // 3)]] = 4.0
+        s = np.full(ic, SCALES[0], np.float32)
+        s[perm[: ic // 3]] = SCALES[1]
+        s[perm[ic // 3: 2 * (ic // 3)]] = SCALES[2]
         d[k] = (w2 * s[None, :, None, None]).astype(w2.dtype)
         # conv1's BN affine is the last op before the relu feeding conv2
         for leaf in ("gamma", "beta"):
             kk = f"{blk}.conv1/bn/{leaf}"
             d[kk] = (d[kk] / s).astype(d[kk].dtype)
-        report[blk] = {"ic": ic, "x2": int((s == 2).sum()),
-                       "x4": int((s == 4).sum())}
+        report[blk] = {"ic": ic,
+                       f"x{SCALES[1]:g}": int((s == SCALES[1]).sum()),
+                       f"x{SCALES[2]:g}": int((s == SCALES[2]).sum())}
     np.savez(dst, **d)
     return report
 
@@ -114,8 +124,8 @@ def run_cli(tag, mode, extra):
             "--n_bits_w", "2", "--n_bits_a", "4",
             "--iters_w", str(A.iters), "--iters_a", str(A.iters_a),
             "--num_samples", "256", "--batch_size", "64",
-            "--checkpoint_dir", f"./checkPoint/adv_{A.dataset}_{tag}",
-            "--log_path", f"/tmp/adv_{A.dataset}_{tag}.log"] + extra
+            "--checkpoint_dir", f"./checkPoint/adv_{A.dataset}_{TAG}_{tag}",
+            "--log_path", f"/tmp/adv_{A.dataset}_{TAG}_{tag}.log"] + extra
     buf = io.StringIO()
 
     class Tee(io.TextIOBase):
@@ -154,7 +164,7 @@ runs = [
     # fused+beta with the reference's coarse candidate set {1/4,1/2,1}
     # (channelQuant shiftTarget role; README-documented flags wired real)
     ("fused+beta", "fused", ["--opt_beta", "true", "--act_mode", "delta",
-                             "--shift_targets", "0.25,0.5,1.0"]),
+                             "--shift_targets", A.shift_targets]),
 ]
 results = {"imbalance": report, "fp_rel": rel, "runs": []}
 for tag, mode, extra in runs:

@@ -69,6 +69,12 @@ def bench_arch(arch: str, batch: int, iters: int, hw: int):
         params, qstate = ssq.prepare_model(graph, raw, cfg)
         calib = jax.random.normal(jax.random.PRNGKey(1), (16, hw, hw, 3))
         qstate = ssq.calibrate_acts(graph, params, qstate, calib, cfg)
+        if os.environ.get("SSQ_HARMONIZE", "0") == "1":
+            # shared act step per siteless residual chain: residual adds
+            # become exact int8 code adds and chain consumers single int8
+            # convs (quantize.harmonize_residual_chains); sim==deploy
+            # stays bit-exact on the harmonized grids
+            qstate, _ = ssq.quantize.harmonize_residual_chains(graph, qstate)
         dparams = deploy.build_deploy_params(graph, params, qstate)
         steps = deploy.act_steps_from_qstate(graph, qstate)
         plan = deploy.make_deploy_plan(graph, dparams, steps)

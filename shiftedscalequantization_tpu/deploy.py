@@ -210,6 +210,65 @@ def act_steps_from_qstate(graph: Graph, qstate) -> dict:
     return steps
 
 
+def _chain_sum_sites(graph: Graph, act_steps: dict) -> dict:
+    """Synthetic act sites for siteless residual blocks whose operand
+    grids share one scalar step (quantize.harmonize_residual_chains): the
+    centered-code SUM is then exact on that shared grid, so the block
+    output can travel as int8 codes instead of an f32 edge. Registered as
+    '<block>__sum__' -> (delta, 0, n_bits) with the BASE grid's n_bits
+    (consumers of 'codes' only read delta); a chain is registered only
+    while its cumulative centered-code bound fits int8.
+
+    Returns {sum_site: (delta, zp0, n_bits)}; callers merge into
+    act_steps and add the names to the int8-transport set."""
+    import numpy as np
+    out = {}
+    current = None            # (site_name, centered_bound) of flowing tensor
+    for node in graph:
+        if isinstance(node, OpSpec):
+            if node.op in ("gap", "avgpool", "flatten"):
+                current = None
+            continue
+
+        def bound_of(site):
+            st = act_steps.get(site)
+            if st is None or not _scalar_step(st):
+                return None
+            delta, zp, nb = st
+            zpv = float(np.asarray(zp).reshape(-1)[0])
+            return max(zpv, (2 ** nb - 1) - zpv)
+
+        if isinstance(node, UnitSpec):
+            b = bound_of(node.name)
+            current = (node.name, b) if b is not None else None
+            continue
+        entry = current
+        last = node.units[-1].name
+        no_site = act_steps.get(node.name) is None
+        if (node.residual and node.downsample is None
+                and node.post_activation is None and no_site
+                and entry is not None and bound_of(last) is not None):
+            e_site, e_bound = entry
+            d_e = float(np.asarray(
+                (out.get(e_site) or act_steps[e_site])[0]).reshape(-1)[0])
+            d_l = float(np.asarray(act_steps[last][0]).reshape(-1)[0])
+            total = e_bound + bound_of(last)
+            if d_e == d_l and total <= 127:
+                name = f"{node.name}__sum__"
+                out[name] = (act_steps[last][0], jnp.zeros_like(
+                    act_steps[last][1]), act_steps[last][2])
+                current = (name, total)
+                continue
+            current = None
+        elif not node.residual and node.post_activation is None and no_site:
+            b = bound_of(last)
+            current = (last, b) if b is not None else None
+        else:
+            b = bound_of(node.name)
+            current = (node.name, b) if b is not None else None
+    return out
+
+
 def _feeding_sites(graph: Graph, act_steps: dict) -> dict:
     """For each unit: the act-quant site whose step governs the tensor
     feeding it (None = unquantized float input, e.g. the raw image)."""
@@ -241,6 +300,11 @@ def _feeding_sites(graph: Graph, act_steps: dict) -> dict:
         if (not node.residual and node.post_activation is None
                 and node.name not in act_steps):
             current = prev
+        elif f"{node.name}__sum__" in act_steps \
+                and node.name not in act_steps:
+            # harmonized siteless residual chain: the exact code SUM's
+            # synthetic grid governs the next consumer (_chain_sum_sites)
+            current = f"{node.name}__sum__"
         else:
             current = node.name
     return feed
@@ -354,9 +418,12 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
     import os
 
     import numpy as np
+    sum_sites = _chain_sum_sites(graph, act_steps)
+    act_steps = {**act_steps, **sum_sites}
     feed = _feeding_sites(graph, act_steps)
     int8_sites = frozenset(
-        s for s in act_steps if _site_fits_int8_concrete(act_steps[s]))
+        s for s in act_steps if _site_fits_int8_concrete(act_steps[s])
+    ) | frozenset(sum_sites)
     # 8-bit unsigned sites (zp==0): transport as biased (q-128) int8 codes
     biased_sites = frozenset(
         s for s in act_steps
@@ -491,6 +558,7 @@ def _make_plan(graph, dparams, act_steps, use_s2d_stem: bool,
     plan["__fused_stem__"] = stem_unit
     plan["__int8_sites__"] = int8_sites
     plan["__biased_sites__"] = biased_sites
+    plan["__sum_steps__"] = sum_sites
     return plan
 
 
@@ -586,6 +654,11 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
     pair_stats["consumed_fast"] = 0
     if plan is None:
         plan = make_deploy_plan(graph, dparams, act_steps)
+    # synthetic harmonized-chain grids, precomputed by make_deploy_plan:
+    # act_steps values are TRACED when this runs under jit (plan is the
+    # eager-context artifact), so the sum-site construction — which needs
+    # concrete deltas for the equality/bound gates — must not rerun here
+    act_steps = {**act_steps, **plan.get("__sum_steps__", {})}
     _int8_sites = plan["__int8_sites__"]
     _biased_sites = plan.get("__biased_sites__", frozenset())
     stem_name = plan.get("__fused_stem__")
@@ -981,7 +1054,16 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             for u in node.units:
                 t = quantize_out(run_unit(u, t), u.name, u.activation)
             no_site = act_steps.get(node.name) is None
-            if res_v is None and node.post_activation is None and no_site:
+            sum_site = f"{node.name}__sum__"
+            if (node.post_activation is None and no_site
+                    and sum_site in act_steps
+                    and isinstance(t, tuple) and t[0] == "codes"
+                    and res_v is not None and res_v[0] == "codes"):
+                # harmonized chain (equal-delta grids): the residual add is
+                # an EXACT int8 code add — one tensor, no f32 edge, and the
+                # consumer runs a single int8 conv (_chain_sum_sites)
+                v = ("codes", t[1] + res_v[1], sum_site)
+            elif res_v is None and node.post_activation is None and no_site:
                 # siteless pass-through: the block output IS the last
                 # unit's tensor — keep its code form (matches
                 # _feeding_sites)

@@ -170,3 +170,95 @@ def prepare_model(graph: Graph, raw_params: dict, cfg: QuantConfig):
     folded = fb.fold_bn(raw_params)
     qstate = build_qstate(graph, folded, cfg)
     return folded, qstate
+
+
+def harmonize_residual_chains(graph: Graph, qstate):
+    """Share one act step across every siteless residual chain.
+
+    Non-special blocks (the reference quantizes MNASNet per-unit with no
+    block act quantizer, quant_block.py:242-248 + mnasnet falling through
+    quant_model.py:15-44) leave residual adds unquantized: out = proj(x)
+    + x with each operand on its own unit act grid and the sum carried
+    exact. For integer serving that forces an f32 edge (2-pass bf16
+    split or per-term conv decomposition) at every chain consumer
+    (deploy.py siteless transport). The standard production int8
+    treatment is to give all operand grids the SAME step so the add is
+    exact in code space; this pass rewrites each chain's member act
+    quantizers to the chain-max delta, rescaling zero_point to keep the
+    covered range anchored. Sim picks the new steps up transparently —
+    sim == deploy stays bit-exact; the cost is grid coarsening by each
+    member's (d_max / d_member) ratio, returned for reporting.
+
+    Returns (new_qstate, {site: coarsening_ratio}) — ratios of exactly
+    1.0 mean the site already had the chain-max step."""
+    import numpy as np
+
+    from .graph import BlockSpec, OpSpec, UnitSpec
+
+    def scalar_aq(name):
+        uq = qstate.get(name)
+        if not isinstance(uq, UnitQuant) or uq.aq is None:
+            return None
+        aq = uq.aq
+        if not hasattr(aq, "delta"):       # ActShiftQuant: per-channel
+            return None
+        if np.asarray(aq.delta).size != 1:
+            return None
+        return aq
+
+    # union-find over site names
+    parent = {}
+
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    current = None          # site name of the tensor flowing forward
+    for node in graph:
+        if isinstance(node, OpSpec):
+            if node.op in ("gap", "avgpool", "flatten"):
+                current = None
+            continue
+        if isinstance(node, UnitSpec):
+            current = node.name if scalar_aq(node.name) else None
+            continue
+        entry = current
+        last = node.units[-1].name
+        block_site = qstate.get(node.name) is not None
+        if (node.residual and node.downsample is None
+                and node.post_activation is None and not block_site
+                and entry is not None and scalar_aq(last) is not None):
+            union(entry, last)
+            current = last      # chain representative flows on
+        elif not node.residual and node.post_activation is None \
+                and not block_site:
+            current = last if scalar_aq(last) is not None else None
+        else:
+            current = node.name if block_site else None
+
+    groups = {}
+    for name in parent:
+        groups.setdefault(find(name), []).append(name)
+
+    qstate = dict(qstate)
+    ratios = {}
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        d_max = max(float(np.asarray(qstate[m].aq.delta)) for m in members)
+        for m in members:
+            aq = qstate[m].aq
+            d_old = float(np.asarray(aq.delta))
+            ratios[m] = d_max / d_old
+            zp_new = jnp.round(aq.zero_point * (d_old / d_max))
+            qstate[m] = dataclasses.replace(
+                qstate[m], aq=dataclasses.replace(
+                    aq, delta=jnp.full_like(aq.delta, d_max),
+                    zero_point=zp_new))
+    return qstate, ratios

@@ -230,33 +230,40 @@ def _reg_terms(qstate, unit_names, step, s: ReconSettings, is_block):
 # ---------------------------------------------------------------------------
 
 def _chunked_scan(step_body, theta, opt_state, key, iters: int,
-                  chunk: Optional[int]):
-    """Run ``step_body(carry, i, key) -> (carry, loss)`` for i in [0, iters)
-    as python-driven chunks of one jitted lax.scan each (chunk>1), or a
-    python loop over one jitted step (chunk==1 — the fast path on XLA:CPU,
-    whose while-loop bodies are single-threaded). Returns
-    (theta, opt_state, loss_trace)."""
+                  chunk: Optional[int], extras=None):
+    """Run ``step_body(carry, i, key, extras) -> (carry, loss)`` for i in
+    [0, iters) as python-driven chunks of one jitted lax.scan each
+    (chunk>1), or a python loop over one jitted step (chunk==1 — the fast
+    path on XLA:CPU, whose while-loop bodies are single-threaded). Returns
+    (theta, opt_state, loss_trace).
+
+    ``extras`` is an arbitrary pytree of LARGE operands (cached
+    activations, params, qstate) passed through as real jit arguments:
+    closing over them instead embeds them as constants in the serialized
+    computation, which the remote axon compile service rejects above its
+    request-size limit (observed HTTP 413 on the act phase at the
+    reference's 1024-sample defaults)."""
     if chunk is None:
         chunk = 1 if jax.default_backend() == "cpu" else 500
     chunk = max(min(chunk, iters), 1)
 
     if chunk == 1:
         @jax.jit
-        def run_step(th, opt, key, i):
-            (th, opt), loss = step_body((th, opt), i, key)
+        def run_step(th, opt, key, i, extras):
+            (th, opt), loss = step_body((th, opt), i, key, extras)
             return th, opt, loss
 
         losses = []
         for i in range(iters):
             theta, opt_state, loss = run_step(theta, opt_state, key,
-                                              jnp.int32(i))
+                                              jnp.int32(i), extras)
             losses.append(loss)
         return theta, opt_state, jnp.stack(losses)
 
     @partial(jax.jit, static_argnames=("nsteps",))
-    def run_chunk(th, opt, key, t0, nsteps):
+    def run_chunk(th, opt, key, t0, nsteps, extras):
         def body(carry, j):
-            return step_body(carry, t0 + j, key)
+            return step_body(carry, t0 + j, key, extras)
         (th, opt), losses = jax.lax.scan(body, (th, opt),
                                          jnp.arange(nsteps))
         return th, opt, losses
@@ -266,7 +273,7 @@ def _chunked_scan(step_body, theta, opt_state, key, iters: int,
     while done < iters:
         nsteps = min(chunk, iters - done)
         theta, opt_state, losses = run_chunk(
-            theta, opt_state, key, jnp.int32(done), nsteps)
+            theta, opt_state, key, jnp.int32(done), nsteps, extras)
         traces.append(losses)
         done += nsteps
     return theta, opt_state, jnp.concatenate(traces)
@@ -548,21 +555,22 @@ def reconstruct_act_shift(graph, params, qstate, node_name: str,
                 qs[site] = dataclasses.replace(qs[site], alpha=th[site])
         return qs
 
-    def loss_fn(th, xb, yb):
-        pred = apply_node(node, params, insert(qstate, th), xb, flags)
+    def loss_fn(th, ps, qs0, xb, yb):
+        pred = apply_node(node, ps, insert(qs0, th), xb, flags)
         return lp_loss_cl(pred, yb, 2.0)
 
     tx = optax.adam(s.lr)
     opt_state = tx.init(theta)
     n = cached_inp.shape[0]
 
-    def step_body(carry, i, key):
+    def step_body(carry, i, key, extras):
+        ps, qs0, ci, co = extras
         th, opt = carry
         k = jax.random.fold_in(key, i)
         idx = jax.random.permutation(k, n)[: s.batch_size]
         loss, grads = jax.value_and_grad(loss_fn)(
-            th, cached_inp[idx].astype(jnp.float32),
-            cached_out[idx].astype(jnp.float32))
+            th, ps, qs0, ci[idx].astype(jnp.float32),
+            co[idx].astype(jnp.float32))
         if s.grad_psum_axis is not None:
             from ..parallel.collectives import pmean_tree
             grads = pmean_tree(grads, s.grad_psum_axis, s.grad_wire)
@@ -574,7 +582,8 @@ def reconstruct_act_shift(graph, params, qstate, node_name: str,
     metrics = {}
     if s.iters > 0:
         theta, opt_state, trace = _chunked_scan(
-            step_body, theta, opt_state, key, s.iters, s.chunk)
+            step_body, theta, opt_state, key, s.iters, s.chunk,
+            extras=(params, qstate, cached_inp, cached_out))
         metrics["rec_trace"] = trace
 
     qstate = insert(qstate, theta)
@@ -635,8 +644,8 @@ def reconstruct_act_delta(graph, params, qstate, node_name: str,
                                                 delta=th[node_name])
         return qs
 
-    def loss_fn(th, xb, yb):
-        pred = apply_node(node, params, insert(qstate, th), xb, flags)
+    def loss_fn(th, ps, qs0, xb, yb):
+        pred = apply_node(node, ps, insert(qs0, th), xb, flags)
         return lp_loss_cl(pred, yb, p_norm)
 
     sched = optax.cosine_decay_schedule(s.act_lr, max(s.iters, 1), 0.0)
@@ -644,13 +653,14 @@ def reconstruct_act_delta(graph, params, qstate, node_name: str,
     opt_state = tx.init(theta)
     n = cached_inp.shape[0]
 
-    def step_body(carry, i, key):
+    def step_body(carry, i, key, extras):
+        ps, qs0, ci, co = extras
         th, opt = carry
         k = jax.random.fold_in(key, i)
         idx = jax.random.permutation(k, n)[: s.batch_size]
         loss, grads = jax.value_and_grad(loss_fn)(
-            th, cached_inp[idx].astype(jnp.float32),
-            cached_out[idx].astype(jnp.float32))
+            th, ps, qs0, ci[idx].astype(jnp.float32),
+            co[idx].astype(jnp.float32))
         if s.grad_psum_axis is not None:
             from ..parallel.collectives import pmean_tree
             grads = pmean_tree(grads, s.grad_psum_axis, s.grad_wire)
@@ -662,6 +672,7 @@ def reconstruct_act_delta(graph, params, qstate, node_name: str,
     metrics = {}
     if s.iters > 0:
         theta, opt_state, trace = _chunked_scan(
-            step_body, theta, opt_state, key, s.iters, s.chunk)
+            step_body, theta, opt_state, key, s.iters, s.chunk,
+            extras=(params, qstate, cached_inp, cached_out))
         metrics["rec_trace"] = trace
     return insert(qstate, theta), metrics

@@ -235,3 +235,78 @@ class TestSitelessBlockTransport:
         # a deeper cap lets later blocks in a 3+-deep stage keep deferring
         # instead of materializing f32: strictly more pairs must form
         assert counts["3"]["formed"] > counts["2"]["formed"], counts
+
+
+class TestResidualChainHarmonization:
+    """quantize.harmonize_residual_chains: siteless residual chains share
+    one act step, so the residual add is an exact int8 code add and every
+    chain consumer runs a single int8 conv (deploy._chain_sum_sites)."""
+
+    def _chain_graph(self):
+        """An isolated 3-deep siteless inverted-residual chain (the
+        MNASNet stage shape, models/mnasnet.py) with a linear head."""
+        from shiftedscalequantization_tpu.graph import OpSpec
+        from shiftedscalequantization_tpu.models.mnasnet import \
+            _inverted_residual
+        from shiftedscalequantization_tpu.models.mnasnet import _conv
+        nodes = [_conv("model.pre", 3, 16, 3, 1, 1, act="relu")]
+        nodes.append(_inverted_residual("model.s.0", 16, 16, 3, 1, 3))
+        nodes.append(_inverted_residual("model.s.1", 16, 16, 3, 1, 3))
+        nodes.append(_inverted_residual("model.s.2", 16, 16, 3, 1, 3))
+        nodes.append(OpSpec("model.gap", "gap"))
+        from shiftedscalequantization_tpu.graph import UnitSpec
+        nodes.append(UnitSpec("model.fc", "linear", in_ch=16, out_ch=10))
+        return tuple(nodes)
+
+    def test_chain_exactness_and_plan(self):
+        from shiftedscalequantization_tpu.quantize import \
+            harmonize_residual_chains
+        graph = self._chain_graph()
+        raw = resnet.init_params(jax.random.PRNGKey(3), graph)
+        cfg = ssq.QuantConfig(n_bits_w=4, n_bits_a=4, w_scale_method="max",
+                              a_scale_method="max",
+                              use_8bit_head_stem=False)
+        params, qstate = ssq.prepare_model(graph, raw, cfg)
+        x = jax.random.normal(jax.random.PRNGKey(4), (4, 16, 16, 3))
+        qstate = ssq.calibrate_acts(graph, params, qstate, x, cfg)
+        qstate, ratios = harmonize_residual_chains(graph, qstate)
+        # one chain: opener proj + 2 residual projs (the first block here
+        # is itself residual, so its entry — the pre conv site — joins)
+        assert len(ratios) >= 3, ratios
+        assert max(ratios.values()) >= 1.0
+        # member deltas now identical
+        deltas = {n: float(np.asarray(qstate[n].aq.delta))
+                  for n in ratios}
+        assert len(set(deltas.values())) == 1, deltas
+
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        sums = deploy._chain_sum_sites(graph, steps)
+        assert len(sums) == 3, sums          # one per residual block
+        plan = deploy.make_deploy_plan(graph, dparams, steps,
+                                       input_hw=(16, 16))
+        # chain consumers must not run the float path
+        for blk in ("model.s.1", "model.s.2"):
+            kind = plan[f"{blk}.layers.0"][0]
+            assert not kind.startswith("float"), (blk, kind)
+        flags = act_flags(graph, cfg, base=ssq.Flags().all_weights(graph))
+        sim = ssq.forward(graph, params, qstate, x, flags)
+        dep = deploy.deploy_forward(graph, dparams, steps, x, plan)
+        # isolated chain, no 8-bit head/stem: every transport is exact, so
+        # sim == deploy up to ~1-ulp multiplier association
+        rel = float(jnp.abs(sim - dep).max() / (jnp.abs(sim).max() + 1e-9))
+        assert rel < 1e-3, rel
+
+    def test_harmonization_noop_without_equal_deltas(self):
+        """Un-harmonized qstate: no sum sites form, plan unchanged."""
+        from shiftedscalequantization_tpu.models import zoo
+        graph = self._chain_graph()
+        raw = resnet.init_params(jax.random.PRNGKey(3), graph)
+        cfg = ssq.QuantConfig(n_bits_w=4, n_bits_a=4, w_scale_method="max",
+                              a_scale_method="max",
+                              use_8bit_head_stem=False)
+        params, qstate = ssq.prepare_model(graph, raw, cfg)
+        x = jax.random.normal(jax.random.PRNGKey(4), (4, 16, 16, 3))
+        qstate = ssq.calibrate_acts(graph, params, qstate, x, cfg)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        assert deploy._chain_sum_sites(graph, steps) == {}
