@@ -119,12 +119,13 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 256))
     ping_timeout = float(os.environ.get("BENCH_PING_TIMEOUT", 300))
     if not _device_responsive(ping_timeout):
+        arch0 = os.environ.get("BENCH_ARCH", "resnet18")
         print(json.dumps({
-            "metric": "resnet18 W2A4 int8-deploy images/sec/chip",
+            "metric": f"{arch0} W2A4 int8-deploy images/sec/chip",
             "value": 0, "unit": "images/sec/chip", "vs_baseline": 0,
             "extra": {"error": f"device unresponsive: trivial matmul did "
                                f"not complete in {ping_timeout:.0f}s "
-                               "(wedged remote compile service)"}}))
+                               "(wedged or busy remote compile service)"}}))
         os._exit(0)
     iters = int(os.environ.get("BENCH_ITERS", 20))
     hw = int(os.environ.get("BENCH_HW", 224))
