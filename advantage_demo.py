@@ -46,6 +46,7 @@ ap.add_argument("--shift_targets", default="0.25,0.5,1.0",
                 help="candidate set for the fused run (1/scale of each "
                      "factor repairs that third exactly)")
 ap.add_argument("--out", default="round3_logs/advantage_demo.json")
+ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
 A = ap.parse_args()
 SCALES = [float(s) for s in A.scales.split(",")]
 assert len(SCALES) == 3
@@ -53,9 +54,13 @@ assert len(SCALES) == 3
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-os.makedirs("/tmp/jax_cache_cpu", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+if A.platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    cache = "/tmp/jax_cache_cpu"
+else:
+    cache = "/tmp/jax_cache_axon"
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
@@ -97,8 +102,19 @@ def make_imbalanced(src: str, dst: str, seed: int):
 
 
 def fp_check():
-    """FP function must be unchanged by the transform."""
+    """FP function must be unchanged by the transform. Runs on the host
+    CPU backend (eager op chains on the remote TPU are round trips)."""
+    import contextlib
+
     import jax.numpy as jnp
+
+    cpus = jax.local_devices(backend="cpu")
+    ctx = jax.default_device(cpus[0]) if cpus else contextlib.nullcontext()
+    with ctx:
+        return _fp_check_impl(jnp)
+
+
+def _fp_check_impl(jnp):
 
     import shiftedscalequantization_tpu as ssq
     from shiftedscalequantization_tpu.models import zoo
