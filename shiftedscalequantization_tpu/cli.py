@@ -127,6 +127,13 @@ def main(argv=None):
     if args.act_quant:
         qstate = calibrate_acts(graph, params, qstate, cali_data[:64], cfg,
                                 flags=wflags)
+        if args.harmonize_residual:
+            from .quantize import harmonize_residual_chains
+            qstate, hr = harmonize_residual_chains(graph, qstate)
+            if hr:
+                worst = max(hr.values())
+                print(f"harmonized {len(hr)} chain act sites "
+                      f"(worst step coarsening {worst:.2f}x)")
     if args.make_checkpoint:
         # save initialized (pre-recon) quantizer state and exit (reference
         # init_delta_zero, myScaledMethods.py:207-261 + --make_checkpoint

@@ -41,16 +41,26 @@ def _inverted_residual(name, cin, cout, k, stride, exp):
                      post_activation=None, block_act_quant=False)
 
 
-def build_mnasnet(scale: float = 2.0, num_classes: int = 1000):
+def build_mnasnet(scale: float = 2.0, num_classes: int = 1000,
+                  variant: str = "imagenet"):
+    """variant='cifar': reference topology with the stem and first two
+    stack downsamples at stride 1 so 32px inputs keep a 4x4 head map
+    (same adaptation as mobilenetv2.build_mobilenetv2; the reference has
+    no small-input MNASNet — this exists for the on-device accuracy
+    harness, esp. the harmonization accuracy measurement)."""
+    small = variant == "cifar"
     d = _get_depths(scale)
     nodes = [
-        _conv("model.layers.0", 3, d[0], 3, 2, 1, act="relu"),
+        _conv("model.layers.0", 3, d[0], 3, 1 if small else 2, 1,
+              act="relu"),
         _conv("model.layers.3", d[0], d[0], 3, 1, 1, groups=d[0], act="relu"),
         _conv("model.layers.6", d[0], d[1], 1, 1, 0),
     ]
     # stacks: (kernel, stride, expansion, repeats), reference mnasnet.py:94-99
     stack_cfg = [(3, 2, 3, 3), (5, 2, 3, 3), (5, 2, 6, 3),
                  (3, 1, 6, 2), (5, 2, 6, 4), (3, 1, 6, 1)]
+    if small:
+        stack_cfg = [(3, 1, 3, 3), (5, 1, 3, 3)] + stack_cfg[2:]
     cin = d[1]
     for si, (k, s, e, n) in enumerate(stack_cfg):
         cout = d[2 + si]

@@ -28,7 +28,8 @@ def build(arch: str, num_classes: int | None = None, dataset: str = "imagenet"):
         g = regnet.build_regnetx(arch, num_classes=nc)
         return g, regnet.torch_key_map
     if arch == "mnasnet":
-        g = mnasnet.build_mnasnet(scale=2.0, num_classes=nc)
+        g = mnasnet.build_mnasnet(scale=2.0, num_classes=nc,
+                                  variant=variant)
         return g, mnasnet.torch_key_map
     raise ValueError(f"unknown arch {arch}")
 

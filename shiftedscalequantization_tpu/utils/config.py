@@ -114,6 +114,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "BRECQ act-scale learning, 'shift' = activation "
                         "shifted-scale selection (channelShift_wLoss_feature"
                         "); 'auto' = delta for brecq mode, none otherwise")
+    p.add_argument("--harmonize_residual", default=False, type=_boolish,
+                   help="share one act step per siteless residual chain "
+                        "(quantize.harmonize_residual_chains) before "
+                        "reconstruction: residual adds become exact int8 "
+                        "code adds in deploy (MNASNet 1.02x row)")
     p.add_argument("--auto_candidates", default=False, type=_boolish,
                    help="per-unit data-driven shift candidate search "
                         "(rank voting over {1/8..15/8})")
