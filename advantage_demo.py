@@ -137,6 +137,14 @@ def run_cli(tag, mode, extra):
     from shiftedscalequantization_tpu import cli
     argv = ["--dataset", A.dataset, "--arch", "resnet18",
             "--pretrained", DST, "--mode", mode,
+            # max-init per-OC deltas for BOTH arms: the shifted-scale
+            # regime (channelQuant.py) assumes a no-clipping base step
+            # that per-(oc,ic) candidates then SHRINK; mse-init on a
+            # bimodal channel distribution lands mid-spread and clips the
+            # large channels, which neither rounding nor down-only
+            # candidates can repair (measured: fused+beta collapsed to
+            # 24.5% on the x4 imbalance under mse-init)
+            "--w_scale_method", "max",
             "--n_bits_w", "2", "--n_bits_a", "4",
             "--iters_w", str(A.iters), "--iters_a", str(A.iters_a),
             "--num_samples", "256", "--batch_size", "64",
