@@ -9,3 +9,4 @@ python advantage_demo.py --iters 2000 --scales 1,2,4 \
   --shift_targets "0.25,0.5,1.0" --platform tpu \
   --out round3_logs/advantage_demo_x4max.json \
   > round3_logs/advantage_x4max.log 2>&1
+python harm_accuracy.py --iters 600 --platform tpu > round3_logs/harm_accuracy.log 2>&1
