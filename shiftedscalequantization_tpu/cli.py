@@ -165,6 +165,7 @@ def main(argv=None):
         warmup=args.warmup, weight=args.weight,
         lmda_r=0.01, lmda_s=args.lmda,
         shift_targets=shift_targets if args.bias_ch_quant else (1.0,),
+        fused_dequant=args.fused_dequant,
         opt_beta=args.opt_beta, opt_output_affine=args.bias_cal,
         rec_loss=args.opt_mode, auto_candidates=args.auto_candidates,
         act_p=args.p)

@@ -629,8 +629,20 @@ def _int_conv(x_int8, w_int8_oihw, stride, padding, groups):
 pair_stats = {"formed": 0, "consumed_fast": 0}
 
 
+def _traced_nodes(graph, trace, snap):
+    """Yield graph nodes; when ``trace`` is a list, append
+    (node_name, float_value_after_node) after each node executes —
+    per-node parity debugging against the sim interpreter."""
+    if trace is None:
+        yield from graph
+        return
+    for node in graph:
+        yield node
+        trace.append((node.name, snap()))
+
+
 def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
-                   plan: Optional[dict] = None):
+                   plan: Optional[dict] = None, trace: Optional[list] = None):
     """Integer inference. ``act_steps`` from act_steps_from_qstate; ``plan``
     from make_deploy_plan (computed here if omitted — precompute it when
     wrapping this function in jit).
@@ -1013,7 +1025,7 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
 
     v = ("f32", x, None)
     pooled_by_stem = False
-    for node in graph:
+    for node in _traced_nodes(graph, trace, lambda: to_float(v)):
         if isinstance(node, OpSpec):
             if v[0] == "pair":         # ops consume a plain tensor
                 v = ("f32", to_float(v), None)
@@ -1053,6 +1065,8 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             t = v
             for u in node.units:
                 t = quantize_out(run_unit(u, t), u.name, u.activation)
+                if trace is not None:
+                    trace.append((u.name, to_float(t)))
             no_site = act_steps.get(node.name) is None
             sum_site = f"{node.name}__sum__"
             if (node.post_activation is None and no_site

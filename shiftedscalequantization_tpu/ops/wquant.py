@@ -156,6 +156,17 @@ class ShiftedScaleWQ:
     # mode, x_q are full fake-quant values and forward is the bare mixture
     # (channelQuant.py:81-82 with init_v:201-213).
     codes: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # dequant='unit': reference-faithful fused semantics — the mixed codes
+    # dequantize at the BASE delta (channelQuant.py:287 resets shiftedScale
+    # to 1.0 before forward :63), so candidate st effectively MULTIPLIES the
+    # weight by 1/st; only sane for st ~= 1 (the snapshot's 31/32, 33/32).
+    # dequant='effective': the paper's intended step-size semantics — each
+    # candidate's codes dequantize at delta*st (matching get_delta/update_
+    # delta, channelQuant.py:221-237,296-298), so coarse candidate sets
+    # ({1/4,1/2,1}) act as finer PER-INPUT-CHANNEL grids, not 4x weight
+    # scalings. Required for any shiftTarget far from 1.
+    dequant: str = dataclasses.field(metadata=dict(static=True),
+                                     default="unit")
 
     # -- selection --------------------------------------------------------
     def soft_targets(self):
@@ -174,12 +185,29 @@ class ShiftedScaleWQ:
             return self.mix_codes(w.dtype)
         delta = _bshape(self.qp.delta, w)
         zp = _bshape(self.qp.zero_point, w)
-        x_floor = self.mix_codes(w.dtype)
-        if self.hard_round:
-            x_int = x_floor + (self.beta >= 0).astype(w.dtype)
-        else:
-            x_int = x_floor + Q.rectified_sigmoid(self.beta)
         lo, hi = self.qp.qrange()
+        if self.hard_round:
+            off = (self.beta >= 0).astype(w.dtype)
+        else:
+            off = Q.rectified_sigmoid(self.beta)
+        if self.dequant == "effective":
+            # mix the per-candidate DEQUANTIZED values (codes + shared
+            # rounding offset, each at its own delta*st grid); the hard
+            # form equals AdaRoundWQ with st_index = argmax (see
+            # shifted_to_baked), which keeps the int deploy path via the
+            # per-(group, OC) scale-table epilogue
+            sts = jnp.asarray(self.shift_targets, w.dtype).reshape(
+                (-1,) + (1,) * w.ndim)
+            vals = (jnp.clip(self.x_q + off[None] + zp[None], lo, hi)
+                    - zp[None]) * (delta[None] * sts)
+            p = self.soft_targets()
+            if self.hard_targets:
+                idx = jnp.argmax(p, axis=-1)
+                p = jax.nn.one_hot(idx, len(self.shift_targets),
+                                   dtype=w.dtype)
+            return _mix(vals, p)
+        x_floor = self.mix_codes(w.dtype)
+        x_int = x_floor + off
         x_q = jnp.clip(x_int + zp, lo, hi)
         return (x_q - zp) * delta
 
@@ -241,22 +269,41 @@ def init_alpha_from_mse(w, x_q, n_targets: int, clip: float = 0.33):
     return Q.inverse_rectified_softmax(p, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("shift_targets", "clip"))
+@functools.partial(jax.jit,
+                   static_argnames=("shift_targets", "clip", "dequant"))
 def init_shifted_scale(qp: QParams, w: jax.Array,
                        shift_targets: Tuple[float, ...],
-                       clip: Optional[float] = None) -> ShiftedScaleWQ:
+                       clip: Optional[float] = None,
+                       dequant: str = "unit") -> ShiftedScaleWQ:
     """Fused shift+round init (reference channelQuant.py:279-294 init_v_beta).
 
     Precomputes floor codes per candidate, inits alpha from the MSE argmin
     rule, then inits beta s.t. sigmoid(beta) = frac(w / effective_delta).
+    For dequant='effective' the alpha-init MSE compares the DEQUANTIZED
+    candidate values against w (the floor codes live on different grids,
+    so raw-code distances would be meaningless there).
     """
     delta = _bshape(qp.delta, w)
+    zp = _bshape(qp.zero_point, w)
+    lo, hi = qp.qrange()
     sts = jnp.asarray(shift_targets, dtype=w.dtype)
     x_q = jnp.stack([jnp.floor(w / (delta * st)) for st in sts])
-    alpha = init_alpha_from_mse(w, x_q, len(shift_targets),
-                                clip=0.33 if clip is None else clip)
+    if dequant == "effective":
+        mse_cands = jnp.stack([
+            (jnp.clip(jnp.round(w / (delta * st)) + zp, lo, hi) - zp)
+            * (delta * st) for st in sts])
+        # intended-behavior clip (the reference's dead init_v_beta call-site
+        # rule, channelQuant.py:288): the argmin must actually be the
+        # argmax of p — the snapshot's hard-coded 0.33 ("#TODO Temp code",
+        # channelQuant.py:160) INVERTS the ordering for |S| = 3
+        default_clip = max(0.90 - 0.05 * len(shift_targets), 0.5)
+    else:
+        mse_cands = x_q
+        default_clip = 0.33
+    alpha = init_alpha_from_mse(w, mse_cands, len(shift_targets),
+                                clip=default_clip if clip is None else clip)
     wq = ShiftedScaleWQ(qp=qp, alpha=alpha, beta=jnp.zeros_like(w), x_q=x_q,
-                        shift_targets=tuple(shift_targets))
+                        shift_targets=tuple(shift_targets), dequant=dequant)
     delta_eff = wq.effective_delta(w)
     rest = w / delta_eff - jnp.floor(w / delta_eff)
     beta = Q.inverse_rectified_sigmoid(rest)
@@ -301,6 +348,19 @@ def bake_shift_to_adaround(wq: ShiftedScaleWQ, w: jax.Array) -> AdaRoundWQ:
     rest = w / delta_eff - x_floor
     beta = Q.inverse_rectified_sigmoid(rest)
     return dataclasses.replace(out, alpha=beta)
+
+
+def shifted_to_baked(wq: ShiftedScaleWQ) -> AdaRoundWQ:
+    """Harden a fused effective-dequant ShiftedScaleWQ into the factorized
+    baked form: AdaRoundWQ with st_index = argmax(selection) and the round
+    logits carried over. Value-identical to the hard effective forward
+    (floor(w/(delta*st_sel)) + [beta>=0], sym-aware clamp, dequant at
+    delta*st_sel), and the form the deploy converter already lowers to
+    grouped int convs with a per-(candidate, OC) scale table."""
+    st_index = jnp.argmax(wq.soft_targets(), axis=-1)
+    return AdaRoundWQ(qp=wq.qp, alpha=wq.beta, soft=False,
+                      signed_clamp=True, st_index=st_index,
+                      shift_targets=tuple(wq.shift_targets))
 
 
 def rank_shift_candidates(qp: QParams, w: jax.Array, num_of_candi: int = 3):

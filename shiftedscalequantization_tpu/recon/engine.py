@@ -64,6 +64,12 @@ class ReconSettings:
     weight: float = 0.01             # brecq round-reg weight (--weight)
     p: Optional[float] = None        # None -> fused default: 2.0 block / 1.0 layer
     shift_targets: tuple = (1.0 - 1.0 / 32, 1.0 + 1.0 / 32, 1.0)
+    # fused candidate dequant semantics (wquant.ShiftedScaleWQ.dequant):
+    # 'unit' = reference-faithful (candidate multiplies the weight by 1/st
+    # — only sane for st ~= 1); 'effective' = per-candidate delta*st grids
+    # (the paper's step-size semantics, required for coarse sets like
+    # {1/4, 1/2, 1}); hardened to the factorized baked AdaRound form
+    fused_dequant: str = "unit"
     opt_beta: bool = False
     opt_output_affine: bool = False
     # DDP gradient reduction (dist.ddp_reconstruct runs the chunk under
@@ -123,7 +129,8 @@ def _init_quantizers(params, qstate, unit_names, s: ReconSettings):
         if s.mode == "fused":
             targets = W.rank_shift_candidates(qp, w) if s.auto_candidates \
                 else s.shift_targets
-            wq = W.init_shifted_scale(qp, w, targets)
+            wq = W.init_shifted_scale(qp, w, targets,
+                                      dequant=s.fused_dequant)
             t["alpha"] = wq.alpha
             if s.opt_beta:
                 t["beta"] = wq.beta
@@ -173,8 +180,13 @@ def _harden(qstate, unit_names, mode):
         uq = qstate[name]
         wq = uq.wq
         if isinstance(wq, W.ShiftedScaleWQ):
-            wq = dataclasses.replace(wq, hard_targets=True,
-                                     hard_round=wq.codes)
+            if wq.codes and wq.dequant == "effective":
+                # factorized baked form: keeps the int deploy path via the
+                # per-(candidate, OC) scale-table epilogue
+                wq = W.shifted_to_baked(wq)
+            else:
+                wq = dataclasses.replace(wq, hard_targets=True,
+                                         hard_round=wq.codes)
         elif isinstance(wq, W.AdaRoundWQ):
             wq = dataclasses.replace(wq, soft=False)
         qstate[name] = dataclasses.replace(uq, wq=wq)
@@ -488,8 +500,12 @@ def selection_ratios(qstate, unit_names):
         if isinstance(wq, W.ShiftedScaleWQ):
             idx = jnp.argmax(wq.soft_targets(), axis=-1)
             n_s = len(wq.shift_targets)
-            counts = jnp.bincount(idx.reshape(-1), length=n_s)
-            out[name] = counts / idx.size
+        elif isinstance(wq, W.AdaRoundWQ) and wq.st_index is not None:
+            idx, n_s = wq.st_index, len(wq.shift_targets)
+        else:
+            continue
+        counts = jnp.bincount(idx.reshape(-1), length=n_s)
+        out[name] = counts / idx.size
     return out
 
 

@@ -93,6 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shift-reg weight lambda_S")
     p.add_argument("--shift_targets", default="0.96875,1.03125,1.0", type=str,
                    help="comma-separated shift candidates")
+    p.add_argument("--fused_dequant", default="unit",
+                   choices=("unit", "effective"),
+                   help="fused candidate dequant semantics: 'unit' = "
+                        "reference-faithful (codes dequant at the base "
+                        "delta; sane only for candidates ~1), 'effective' "
+                        "= per-candidate delta*st grids (required for "
+                        "coarse sets like 0.25,0.5,1)")
 
     # infra
     p.add_argument("--synthetic_data", default=None, type=_boolish,
