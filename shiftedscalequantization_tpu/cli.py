@@ -124,16 +124,21 @@ def main(argv=None):
     # weight-quantizer scale init happened eagerly in prepare_model; act
     # init on the first 64 calibration samples (reference lazy-init pass,
     # ShiftedScaleQuant.py:228-229)
+    def maybe_harmonize(qs, when):
+        if not args.harmonize_residual:
+            return qs
+        from .quantize import harmonize_residual_chains
+        qs, hr = harmonize_residual_chains(graph, qs)
+        if hr:
+            worst = max(hr.values())
+            print(f"harmonized {len(hr)} chain act sites {when} "
+                  f"(worst step coarsening {worst:.2f}x)")
+        return qs
+
     if args.act_quant:
         qstate = calibrate_acts(graph, params, qstate, cali_data[:64], cfg,
                                 flags=wflags)
-        if args.harmonize_residual:
-            from .quantize import harmonize_residual_chains
-            qstate, hr = harmonize_residual_chains(graph, qstate)
-            if hr:
-                worst = max(hr.values())
-                print(f"harmonized {len(hr)} chain act sites "
-                      f"(worst step coarsening {worst:.2f}x)")
+        qstate = maybe_harmonize(qstate, "pre-recon")
     if args.make_checkpoint:
         # save initialized (pre-recon) quantizer state and exit (reference
         # init_delta_zero, myScaledMethods.py:207-261 + --make_checkpoint
@@ -232,8 +237,12 @@ def main(argv=None):
         # quantizers lazily init on the first set_quant_state(True, True)
         # forward AFTER recon_model). The pre-recon calibration above saw
         # scale-init-only weights — a different activation distribution.
+        # Re-calibration replaces every act QParams, so harmonized chain
+        # steps must be re-derived (round-3 harm_accuracy ran with
+        # sum_sites=0 because this was missing).
         qstate = calibrate_acts(graph, params, qstate, cali_data[:64], cfg,
                                 flags=prefix)
+        qstate = maybe_harmonize(qstate, "post-recon")
     if args.act_quant and act_mode != "none" and args.iters_a > 0:
         act_settings = dataclasses.replace(settings, iters=args.iters_a,
                                            act_lr=args.lr)
@@ -241,6 +250,9 @@ def main(argv=None):
             graph, params, qstate, targets, cali_data, act_settings,
             jax.random.PRNGKey(args.seed + 1), batch_size=args.batch_size,
             base_flags=prefix, act_phase=act_mode)
+        # the act phase learns each site's delta independently, splitting
+        # any harmonized chain again — re-coarsen to the chain max
+        qstate = maybe_harmonize(qstate, "post-act-phase")
 
     aflags = act_flags(graph, cfg, base=wflags) if args.act_quant else wflags
     final = _final_validate(graph, params, qstate, test_loader, aflags, args)

@@ -17,6 +17,7 @@ def run(tmp_path, extra):
                           "--log_path", str(tmp_path / "run.log")] + extra)
 
 
+@pytest.mark.slow
 class TestPipelines:
     def test_fused(self, tmp_path):
         acc = run(tmp_path, ["--mode", "fused", "--iters_w", "4"])
@@ -51,6 +52,7 @@ class TestPipelines:
         run(tmp_path, ["--mode", "mse", "--golden_dir", g])
 
 
+@pytest.mark.slow
 class TestCheckpointFlow:
     def test_make_then_resume_then_eval(self, tmp_path):
         r = run(tmp_path, ["--make_checkpoint", "true"])
@@ -67,6 +69,7 @@ class TestCheckpointFlow:
         assert 0 <= acc["top1"] <= 100
 
 
+@pytest.mark.slow
 class TestDeterminism:
     def test_same_seed_identical_results(self, tmp_path):
         """Seeded end-to-end reproducibility (the reference's seed_all role,

@@ -62,6 +62,7 @@ class TestQuantizedPmean:
                                    rtol=1e-6)
 
 
+@pytest.mark.slow
 class TestDDPReconstruct:
     def _setup(self):
         graph = resnet.build_resnet(18, num_classes=10, variant="cifar")

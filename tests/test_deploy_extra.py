@@ -3,6 +3,7 @@ folding, per-channel (ActShiftQuant) site transport."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -121,6 +122,7 @@ class TestActShiftDeploy:
                 == np.asarray(dep).argmax(-1)).mean() >= 0.99
 
 
+@pytest.mark.slow
 class TestSitelessBlockTransport:
     """MNASNet is encoded per-unit (no block act sites): non-residual
     blocks must pass codes through and siteless residual sums must travel
