@@ -113,6 +113,63 @@ def sharded_capture(graph: Graph, params, qstate, target: str, cali_data,
                           inp_flags, out_flags, batch_size=batch_size)
 
 
+def synced_calibrate_acts(graph: Graph, params, qstate, cali_data, cfg,
+                          mesh: Mesh, axis: str = "data",
+                          flags: Optional[Flags] = None):
+    """Activation-scale calibration with cross-rank statistic sync.
+
+    The reference stubs this as ``synchorize_activation_statistics``
+    (quant/quant_model.py:78-83, linklink allreduce of act-quantizer
+    scales, commented out at the dist-driver call site) — every DP rank
+    calibrates on its own shard, then the per-site scale statistics are
+    reconciled by an all-reduce MEAN so all ranks quantize identically.
+
+    TPU-native form: ONE shard_map program over ``mesh[axis]`` — each
+    shard runs the same single-pass lazy-init interpreter walk
+    (graph.init_act_quant) on its slice of the calibration batch, then
+    delta / zero_point are lax.pmean'd over the axis (zero_point
+    re-rounded to stay integral). Returns a new qstate identical on all
+    ranks."""
+    import dataclasses as _dc
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..graph import UnitQuant, init_act_quant
+    from ..quantize import act_quant_sites
+
+    if flags is None:
+        flags = Flags().all_weights(graph)
+    sites = act_quant_sites(graph, cfg, disable_output_quant=True)
+    n_shards = mesh.shape[axis]
+    cali, _ = pad_to_multiple(jnp.asarray(cali_data), n_shards)
+
+    def shard_fn(p, qs, x):
+        new_aq = init_act_quant(graph, p, qs, x, flags, sites,
+                                act_sym=False,
+                                scale_method=cfg.a_scale_method)
+        out = {}
+        for name, qp in new_aq.items():
+            delta = jax.lax.pmean(qp.delta, axis)
+            zp = jnp.round(jax.lax.pmean(
+                qp.zero_point.astype(jnp.float32), axis))
+            out[name] = _dc.replace(qp, delta=delta, zero_point=zp)
+        return out
+
+    spec_x = P(axis)
+    with mesh:
+        new_aq = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), spec_x), out_specs=P(),
+            check_rep=False))(params, qstate, cali)
+    qstate = dict(qstate)
+    for name, qp in new_aq.items():
+        if name in qstate and isinstance(qstate[name], UnitQuant):
+            qstate[name] = _dc.replace(qstate[name], aq=qp)
+        else:
+            qstate[name] = qp
+    return qstate
+
+
 def sharded_reconstruct(graph: Graph, params, qstate, node_name: str,
                         cached_inp, cached_out, settings, key, mesh: Mesh):
     """Run the reconstruction engine under the mesh: params/qstate sharded

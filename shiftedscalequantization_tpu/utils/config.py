@@ -87,19 +87,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="optimize gamma^z/phi^z output affine")
     p.add_argument("--bias_ch_quant", default=True, type=_boolish,
                    help="enable input-channel-group shifted scales")
-    p.add_argument("--opt_beta", default=False, type=_boolish,
-                   help="also optimize rounding logits in fused recon")
+    p.add_argument("--opt_beta", default=True, type=_boolish,
+                   help="also optimize rounding logits in fused recon "
+                        "(default ON: the reference's latent-but-intended "
+                        "joint optimization, layer_recon_fused_shifted"
+                        "Scale.py:65-70; selection-only fused recon "
+                        "measurably stalls at chance — ACCURACY.md "
+                        "ablation. 'false' restores the snapshot-faithful "
+                        "behavior)")
     p.add_argument("--lmda", default=0.1, type=float,
                    help="shift-reg weight lambda_S")
     p.add_argument("--shift_targets", default="0.96875,1.03125,1.0", type=str,
                    help="comma-separated shift candidates")
-    p.add_argument("--fused_dequant", default="unit",
-                   choices=("unit", "effective"),
+    p.add_argument("--fused_dequant", default="auto",
+                   choices=("auto", "unit", "effective"),
                    help="fused candidate dequant semantics: 'unit' = "
                         "reference-faithful (codes dequant at the base "
                         "delta; sane only for candidates ~1), 'effective' "
                         "= per-candidate delta*st grids (required for "
-                        "coarse sets like 0.25,0.5,1)")
+                        "coarse sets like 0.25,0.5,1); 'auto' picks "
+                        "'effective' whenever max|st-1| > 1/8 (the "
+                        "round-3 advantage demos collapsed to chance "
+                        "because coarse candidates ran under 'unit')")
 
     # infra
     p.add_argument("--synthetic_data", default=None, type=_boolish,

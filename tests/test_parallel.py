@@ -94,3 +94,35 @@ class TestShardings:
         shard_shapes = {s.data.shape for s in w.addressable_shards}
         # OC=64 split over 2 model shards (each shard replicated 4x on data)
         assert (32, 64, 3, 3) in shard_shapes
+
+
+class TestSyncedActCalibration:
+    def test_ranks_agree_and_average(self, setup):
+        """synced_calibrate_acts (the reference's stubbed
+        synchorize_activation_statistics, quant_model.py:78-83): shards
+        with different data distributions must end with IDENTICAL act
+        scales equal to the cross-shard mean of local calibrations."""
+        graph, params, qstate, _ = setup
+        cfg = ssq.QuantConfig(n_bits_w=2, n_bits_a=4, w_scale_method="max",
+                              a_scale_method="max", use_8bit_head_stem=False)
+        # rank-dependent scale: shard i sees inputs scaled by (1 + i/4)
+        base = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+        shards = [base * (1.0 + i / 4.0) for i in range(8)]
+        cali = jnp.concatenate(shards)          # (16, ...) -> 2 per shard
+        mesh = make_mesh(n_data=8, n_model=1)
+        qs = dist.synced_calibrate_acts(graph, params, qstate, cali, cfg,
+                                        mesh)
+        # reference behavior: mean over the per-shard local calibrations
+        locals_ = [ssq.calibrate_acts(graph, params, qstate, s, cfg)
+                   for s in (shards[0], shards[7])]
+        name = next(n for n, v in qs.items()
+                    if hasattr(v, "aq") and v.aq is not None)
+        synced = float(np.asarray(qs[name].aq.delta))
+        lo = float(np.asarray(locals_[0][name].aq.delta))
+        hi = float(np.asarray(locals_[1][name].aq.delta))
+        assert min(lo, hi) - 1e-9 <= synced <= max(lo, hi) + 1e-9, \
+            (lo, synced, hi)
+        assert abs(lo - hi) > 1e-8  # the shards genuinely disagreed
+        # zero_point stays integral
+        zp = np.asarray(qs[name].aq.zero_point)
+        assert np.allclose(zp, np.round(zp))
