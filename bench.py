@@ -78,12 +78,26 @@ def bench_arch(arch: str, batch: int, iters: int, hw: int):
         dparams = deploy.build_deploy_params(graph, params, qstate)
         steps = deploy.act_steps_from_qstate(graph, qstate)
         plan = deploy.make_deploy_plan(graph, dparams, steps)
+        # exact-stem plan for the parity gate: the serving 1-pass stem's
+        # ~2^-9 activation rounding is chaotic on RANDOM-weight fixtures
+        # (tests/conftest.py note) and would pollute the agreement signal
+        stem_env = os.environ.get("SSQ_STEM_1PASS")
+        os.environ["SSQ_STEM_1PASS"] = "0"
+        plan_exact = deploy.make_deploy_plan(graph, dparams, steps)
+        if stem_env is None:
+            os.environ.pop("SSQ_STEM_1PASS")
+        else:
+            os.environ["SSQ_STEM_1PASS"] = stem_env
         params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
         x = jax.random.normal(jax.random.PRNGKey(2), (batch, hw, hw, 3))
 
+    with jax.default_device(cpu):
+        flags_sim = act_flags(graph, cfg, base=ssq.Flags().all_weights(graph))
+        params_f32 = params
+
     put = lambda t: jax.device_put(t, tpu)
-    params_bf16, qstate, dparams, steps, x = jax.tree.map(
-        put, (params_bf16, qstate, dparams, steps, x))
+    params_bf16, params_f32, qstate, dparams, steps, x = jax.tree.map(
+        put, (params_bf16, params_f32, qstate, dparams, steps, x))
 
     fp_fn = lambda x: ssq.forward(graph, params_bf16, qstate,
                                   x.astype(jnp.bfloat16), ssq.Flags())
@@ -91,7 +105,20 @@ def bench_arch(arch: str, batch: int, iters: int, hw: int):
 
     q_fn = lambda x: deploy.deploy_forward(graph, dparams, steps, x, plan)
     q_t = time_fn(q_fn, x, iters)
-    return batch / q_t, batch / fp_t, q_t, fp_t
+
+    # deploy==sim parity gate on the real chip (catches TPU-only deploy
+    # miscompiles that the CPU test suite cannot — e.g. the round-3
+    # int8->bf16 grouped-conv NaN bug, round4_logs/NOTES_deploy_nan.md)
+    import numpy as np
+    xs = x[:16]
+    sim_pred = np.asarray(jnp.argmax(jax.jit(
+        lambda a: ssq.forward(graph, params_f32, qstate, a, flags_sim))(xs),
+        -1))
+    dep_pred = np.asarray(jnp.argmax(jax.jit(
+        lambda a: deploy.deploy_forward(graph, dparams, steps, a,
+                                        plan_exact))(xs), -1))
+    agreement = float((sim_pred == dep_pred).mean())
+    return batch / q_t, batch / fp_t, q_t, fp_t, agreement
 
 
 def _device_responsive(timeout_s: float) -> bool:
@@ -118,13 +145,28 @@ def _device_responsive(timeout_s: float) -> bool:
 def main():
     batch = int(os.environ.get("BENCH_BATCH", 256))
     ping_timeout = float(os.environ.get("BENCH_PING_TIMEOUT", 300))
-    if not _device_responsive(ping_timeout):
+    # Bounded retry with backoff: a ping timeout usually means the remote
+    # compile service is BUSY with another client's long compile, not
+    # wedged (CLAUDE.md landmine 8) — give it several windows to drain
+    # before declaring failure (round-3's official bench zeroed out on a
+    # transiently busy service; VERDICT r3 weak #1).
+    retries = int(os.environ.get("BENCH_PING_RETRIES", 4))
+    responsive = False
+    for attempt in range(retries):
+        if _device_responsive(ping_timeout):
+            responsive = True
+            break
+        print(f"# ping attempt {attempt + 1}/{retries} timed out "
+              f"({ping_timeout:.0f}s); service busy or wedged — retrying",
+              file=sys.stderr, flush=True)
+    if not responsive:
         arch0 = os.environ.get("BENCH_ARCH", "resnet18")
         print(json.dumps({
             "metric": f"{arch0} W2A4 int8-deploy images/sec/chip",
             "value": 0, "unit": "images/sec/chip", "vs_baseline": 0,
             "extra": {"error": f"device unresponsive: trivial matmul did "
-                               f"not complete in {ping_timeout:.0f}s "
+                               f"not complete in {retries} x "
+                               f"{ping_timeout:.0f}s "
                                "(wedged or busy remote compile service)"}}))
         os._exit(0)
     iters = int(os.environ.get("BENCH_ITERS", 20))
@@ -136,16 +178,17 @@ def main():
     extra_archs = [a for a in os.environ.get(
         "BENCH_EXTRA_ARCHS", "").split(",") if a]
 
-    ips, fp_ips, q_t, fp_t = bench_arch(arch, batch, iters, hw)
+    ips, fp_ips, q_t, fp_t, agree = bench_arch(arch, batch, iters, hw)
     extras = {
         "bf16_fp_images_per_sec": round(fp_ips, 1),
         "int_path_ms_per_batch": round(q_t * 1e3, 2),
         "bf16_ms_per_batch": round(fp_t * 1e3, 2),
+        "deploy_sim_agreement": round(agree, 4),
         "device": str(jax.devices()[0]),
     }
     for a in extra_archs:
         try:
-            i2, f2, _, _ = bench_arch(a, batch, iters, hw)
+            i2, f2, _, _, _ = bench_arch(a, batch, iters, hw)
             extras[a] = {"int8_images_per_sec": round(i2, 1),
                          "bf16_images_per_sec": round(f2, 1),
                          "vs_bf16": round(i2 / f2, 3)}

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Round-4 serialized TPU queue (CLAUDE.md landmine 8: one TPU client at a
+# time). Run AFTER harm_accuracy finishes; each step logs under /tmp.
+set -x
+cd /root/repo
+
+# 1. advantage demo, x(1,2,4) imbalance, candidates {1/4,1/2,1} — with the
+#    new fused_dequant=auto default this runs 'effective' semantics
+python -u advantage_demo.py --platform tpu --iters 2000 \
+  --out round4_logs/advantage_demo.json > /tmp/adv_r4_x4.log 2>&1
+
+# 2. harsh x(1,1,16) variant, candidates {1/16,1/4,1}
+python -u advantage_demo.py --platform tpu --iters 2000 \
+  --scales 1,1,16 --shift_targets 0.0625,0.25,1.0 \
+  --out round4_logs/advantage_demo_x16.json > /tmp/adv_r4_x16.log 2>&1
+
+# 3. MNV2 trained-state pipeline + deploy parity (the ACCURACY_mnv2 repro
+#    with the fixed deploy path); one headline row + deploy_eval
+python -u run_accuracy.py --arch mobilenetv2 --platform tpu \
+  --only synth10:brecq:W2A4 --out ACCURACY_mnv2_r4.md \
+  > /tmp/run_acc_mnv2_r4.log 2>&1
+
+touch /tmp/queue_r4_done

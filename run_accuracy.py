@@ -180,7 +180,8 @@ def deploy_eval(dataset, nbw, nba, tag):
     accs["sim"] = top1(sim_fn, x_te, y_te)
     for mode_env in ("0", "1"):
         os.environ["SSQ_STEM_1PASS"] = mode_env
-        plan = deploy.make_deploy_plan(graph, dparams, steps)
+        plan = deploy.make_deploy_plan(graph, dparams, steps,
+                                       input_hw=(32, 32))
         fn = jax.jit(lambda x, p=plan: deploy.deploy_forward(
             graph, dparams, steps, x, plan=p))
         accs["deploy_2pass" if mode_env == "0" else "deploy_1pass"] = \
