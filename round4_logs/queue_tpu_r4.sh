@@ -21,3 +21,19 @@ python -u run_accuracy.py --arch mobilenetv2 --platform tpu \
   > /tmp/run_acc_mnv2_r4.log 2>&1
 
 touch /tmp/queue_r4_done
+
+# 4. ResNet-50 trained-state pipeline + deploy parity
+python -u run_accuracy.py --arch resnet50 --platform tpu \
+  --only synth10:brecq:W2A4 --out ACCURACY_r50_r4.md \
+  > /tmp/run_acc_r50_r4.log 2>&1
+
+# 5. RegNetX-600M: train on synth10 (cifar variant), then pipeline +
+#    deploy parity — completes the 5-family trained-state matrix
+python -u -m shiftedscalequantization_tpu.train --arch regnetx_600m \
+  --dataset synth10 --steps 3000 --batch_size 128 \
+  --out trained_regnetx_600m_synth10.npz > /tmp/train_regnet_r4.log 2>&1
+python -u run_accuracy.py --arch regnetx_600m --platform tpu \
+  --only synth10:brecq:W2A4 --out ACCURACY_regnet_r4.md \
+  > /tmp/run_acc_regnet_r4.log 2>&1
+
+touch /tmp/queue_r4_all_done

@@ -76,7 +76,13 @@ def _res_bottleneck(name, w_in, w_out, stride, bm, gw):
                      residual=True, post_activation="relu")
 
 
-def build_regnetx(arch: str = "regnetx_600m", num_classes: int = 1000):
+def build_regnetx(arch: str = "regnetx_600m", num_classes: int = 1000,
+                  variant: str = "imagenet"):
+    """variant='cifar': stem and first-stage downsamples at stride 1 so
+    32px inputs keep a useful head map (same adaptation as the
+    mobilenetv2/mnasnet cifar variants; the reference has no small-input
+    RegNet — this exists for the on-device trained-state harnesses)."""
+    small = variant == "cifar"
     cfg = CONFIGS[arch]
     b_ws, num_s = generate_regnet(cfg["WA"], cfg["W0"], cfg["WM"],
                                   cfg["DEPTH"])
@@ -85,11 +91,12 @@ def build_regnetx(arch: str = "regnetx_600m", num_classes: int = 1000):
     gws = [cfg["GROUP_W"]] * num_s
     ws, gws = adjust_ws_gs_comp(ws, bms, gws)
     stem_w = 32
-    nodes = [_conv("model.stem.conv", 3, stem_w, 3, 2, 1, act="relu")]
+    nodes = [_conv("model.stem.conv", 3, stem_w, 3, 1 if small else 2, 1,
+                   act="relu")]
     prev_w = stem_w
     for i, (d, w, bm, gw) in enumerate(zip(ds, ws, bms, gws)):
         for b in range(d):
-            stride = 2 if b == 0 else 1
+            stride = 2 if b == 0 and not (small and i == 0) else 1
             w_in = prev_w if b == 0 else w
             nodes.append(_res_bottleneck(
                 f"model.s{i + 1}.b{b + 1}", w_in, w, stride, bm, gw))

@@ -25,7 +25,7 @@ def build(arch: str, num_classes: int | None = None, dataset: str = "imagenet"):
         g = mobilenetv2.build_mobilenetv2(num_classes=nc, variant=variant)
         return g, mobilenetv2.torch_key_map
     if arch.startswith("regnetx"):
-        g = regnet.build_regnetx(arch, num_classes=nc)
+        g = regnet.build_regnetx(arch, num_classes=nc, variant=variant)
         return g, regnet.torch_key_map
     if arch == "mnasnet":
         g = mnasnet.build_mnasnet(scale=2.0, num_classes=nc,
