@@ -246,10 +246,12 @@ def main(argv=None):
     if args.act_quant and act_mode != "none" and args.iters_a > 0:
         act_settings = dataclasses.replace(settings, iters=args.iters_a,
                                            act_lr=args.lr)
+        pre_deltas = _act_deltas(qstate)
         qstate, _, _ = reconstruct_model(
             graph, params, qstate, targets, cali_data, act_settings,
             jax.random.PRNGKey(args.seed + 1), batch_size=args.batch_size,
             base_flags=prefix, act_phase=act_mode)
+        _report_act_drift(pre_deltas, _act_deltas(qstate))
         # the act phase learns each site's delta independently, splitting
         # any harmonized chain again — re-coarsen to the chain max
         qstate = maybe_harmonize(qstate, "post-act-phase")
@@ -264,6 +266,40 @@ def main(argv=None):
         {"accs": accs, "final": final})
     ckpt.save_qstate(recon_ckpt, qstate, done=done)
     return final
+
+
+def _act_deltas(qstate):
+    """site -> scalar act delta (diagnostic for the act-delta phase)."""
+    from .graph import UnitQuant
+    out = {}
+    for name, v in qstate.items():
+        aq = v.aq if isinstance(v, UnitQuant) else v
+        if aq is not None and hasattr(aq, "delta") \
+                and np.asarray(aq.delta).size == 1:
+            out[name] = float(np.asarray(aq.delta))
+    return out
+
+
+def _report_act_drift(pre: dict, post: dict):
+    """Surface act-scale learning anomalies (negative or wildly drifted
+    deltas): the x16 advantage-demo act phase collapsed 99.4% -> 13.9%
+    in round 3 with no visibility into what the phase did."""
+    rows = []
+    for name, d0 in pre.items():
+        d1 = post.get(name)
+        if d1 is None or d0 == 0:
+            continue
+        rows.append((abs(d1 / d0 - 1.0), name, d0, d1))
+    if not rows:
+        return
+    rows.sort(reverse=True)
+    bad = [r for r in rows if r[3] <= 0]
+    worst = rows[0]
+    print(f"act-phase delta drift: worst {worst[1]} "
+          f"{worst[2]:.5g} -> {worst[3]:.5g} "
+          f"({(worst[3] / worst[2] - 1.0) * 100:+.1f}%)"
+          + (f"; {len(bad)} sites NON-POSITIVE: "
+             + ", ".join(r[1] for r in bad[:5]) if bad else ""))
 
 
 def _final_validate(graph, params, qstate, test_loader, flags, args):
