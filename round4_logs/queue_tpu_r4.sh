@@ -9,9 +9,11 @@ cd /root/repo
 python -u advantage_demo.py --platform tpu --iters 2000 \
   --out round4_logs/advantage_demo.json > /tmp/adv_r4_x4.log 2>&1
 
-# 2. harsh x(1,1,16) variant, candidates {1/16,1/4,1}
+# 2. harsh x(1,1,16) variant, candidates {1/16,1/4,1}, act-FP (the
+#    planted 16x ratio lives in conv1's OUTPUT activations — per-tensor
+#    A4 cannot represent it for either arm; reference W2 rows are act-FP)
 python -u advantage_demo.py --platform tpu --iters 2000 \
-  --scales 1,1,16 --shift_targets 0.0625,0.25,1.0 \
+  --scales 1,1,16 --shift_targets 0.0625,0.25,1.0 --act_quant false \
   --out round4_logs/advantage_demo_x16.json > /tmp/adv_r4_x16.log 2>&1
 
 # 3. MNV2 trained-state pipeline + deploy parity (the ACCURACY_mnv2 repro
@@ -37,3 +39,13 @@ python -u run_accuracy.py --arch regnetx_600m --platform tpu \
   > /tmp/run_acc_regnet_r4.log 2>&1
 
 touch /tmp/queue_r4_all_done
+
+# 6. Re-measure per-arch throughput with the fixed bf16_codes path (the
+#    round-3 MNV2/MNASNet/RegNet numbers ran NaN-poisoned convs) + the
+#    new deploy_sim_agreement gate
+BENCH_EXTRA_ARCHS=resnet50,mobilenetv2,regnetx_600m,mnasnet \
+  python -u bench.py > round4_logs/bench_multiarch.json 2>/tmp/bench_multiarch.err
+SSQ_HARMONIZE=1 BENCH_ARCH=mnasnet \
+  python -u bench.py > round4_logs/bench_mnasnet_harm.json 2>/tmp/bench_harm.err
+
+touch /tmp/queue_r4_bench_done
