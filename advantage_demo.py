@@ -106,7 +106,8 @@ def make_imbalanced(src: str, dst: str, seed: int):
             d[kk] = (d[kk] / s).astype(d[kk].dtype)
         report[blk] = {"ic": ic,
                        f"x{SCALES[1]:g}": int((s == SCALES[1]).sum()),
-                       f"x{SCALES[2]:g}": int((s == SCALES[2]).sum())}
+                       f"x{SCALES[2]:g}": int((s == SCALES[2]).sum()),
+                       "scales": s.tolist()}
     np.savez(dst, **d)
     return report
 
@@ -188,8 +189,43 @@ def run_cli(tag, mode, extra):
     }
 
 
+def selection_vs_planted(ckpt_dir, report, shift_targets):
+    """Mechanism evidence: does the hardened per-IC selection track the
+    planted imbalance? For each rescaled conv2, the 'repair' candidate
+    for a channel scaled by s is the one closest to 1/s (the per-IC step
+    must GROW by s to re-cover the channel's range; channelQuant.py
+    get_delta semantics). Reports the match fraction per block."""
+    import numpy as np
+
+    from shiftedscalequantization_tpu.utils import checkpoint as ckpt
+    sts = np.asarray([float(t) for t in shift_targets.split(",")])
+    qs, _ = ckpt.load_qstate(f"{ckpt_dir}/QNN_W2_A4")
+    out = {}
+    for blk, info in report.items():
+        uq = qs.get(f"{blk}.conv2")
+        wq = getattr(uq, "wq", None)
+        idx = getattr(wq, "st_index", None)
+        if idx is None:
+            continue
+        idx = np.asarray(idx).reshape(-1)          # per-IC
+        s = np.asarray(info["scales"])
+        # expected candidate index: argmin |st - 1/s| -- wait, the step
+        # must scale WITH the channel's weight magnitude: w[:,c] *= s
+        # needs delta_c *= s; candidates MULTIPLY delta, so expected
+        # candidate st == closest to s... but candidates are <= 1 and
+        # s >= 1: the base per-OC delta is set by the LARGEST channels
+        # (max-init), so unscaled channels (s=1) need st = 1/max_scale
+        # and scaled ones st = s/max_scale
+        smax = s.max()
+        expect = np.argmin(np.abs(sts[None, :] - (s / smax)[:, None]), 1)
+        out[blk] = float((idx == expect).mean())
+    return out
+
+
 report = make_imbalanced(SRC, DST, A.seed)
-print("imbalance report:", json.dumps(report))
+print("imbalance report:",
+      json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "scales"}
+                  for k, v in report.items()}))
 rel = fp_check()
 print(f"FP parity after transform: max rel diff {rel:.2e}")
 assert rel < 1e-4, rel
@@ -205,6 +241,15 @@ results = {"imbalance": report, "fp_rel": rel, "runs": []}
 for tag, mode, extra in runs:
     print(f"\n===== advantage demo: {tag} (iters={A.iters}) =====")
     res = run_cli(tag, mode, extra)
+    if mode == "fused":
+        try:
+            res["selection_vs_planted"] = selection_vs_planted(
+                f"./checkPoint/adv_{A.dataset}_{TAG}_{tag}", report,
+                A.shift_targets)
+            print("selection matches planted imbalance:",
+                  json.dumps(res["selection_vs_planted"]))
+        except Exception as e:
+            res["selection_vs_planted"] = f"error: {e}"
     print(json.dumps(
         {k: v for k, v in res.items() if k != "selection_ratios"},
         default=str))
