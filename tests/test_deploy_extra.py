@@ -312,3 +312,39 @@ class TestResidualChainHarmonization:
         qstate = ssq.calibrate_acts(graph, params, qstate, x, cfg)
         steps = deploy.act_steps_from_qstate(graph, qstate)
         assert deploy._chain_sum_sites(graph, steps) == {}
+
+
+class TestMobileNetV2Deploy:
+    """Full-graph deploy==sim on the MNV2 cifar variant: exercises the
+    bf16_codes thin-unit path (every depthwise conv), biased 8-bit stem
+    transport, and block-site residual fusing — the plan mix whose TPU
+    lowering broke in round 3 (round4_logs/NOTES_deploy_nan.md)."""
+
+    def test_w4a8_matches_sim(self):
+        from shiftedscalequantization_tpu.models import resnet, zoo
+        graph, _ = zoo.build("mobilenetv2", dataset="synth10")
+        raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+        cfg = ssq.QuantConfig(n_bits_w=4, n_bits_a=8,
+                              w_scale_method="max", a_scale_method="max")
+        params, qstate = ssq.prepare_model(graph, raw, cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+        qstate = ssq.calibrate_acts(graph, params, qstate, x, cfg)
+        flags = act_flags(graph, cfg, base=ssq.Flags().all_weights(graph))
+        sim = np.asarray(ssq.forward(graph, params, qstate, x, flags))
+        dparams = deploy.build_deploy_params(graph, params, qstate)
+        steps = deploy.act_steps_from_qstate(graph, qstate)
+        plan = deploy.make_deploy_plan(graph, dparams, steps,
+                                       input_hw=(32, 32))
+        kinds = {v[0] for k, v in plan.items()
+                 if isinstance(v, tuple) and len(v) == 2}
+        assert "bf16_codes" in kinds, kinds   # the thin path must engage
+        dep = np.asarray(deploy.deploy_forward(graph, dparams, steps, x,
+                                               plan))
+        # random-weight 17-block chaos amplifies per-site rounding-order
+        # epsilons ~1.3x/node (the same accepted class as test_deploy's
+        # W4A4 row); the meaningful contract is argmax agreement plus a
+        # bounded mean drift (trained-state parity is exact to 0.1% —
+        # debug_precision.py / ACCURACY_mnv2 rows)
+        rel = np.abs(sim - dep).mean() / (np.abs(sim).mean() + 1e-9)
+        assert rel < 0.15, rel
+        assert (sim.argmax(-1) == dep.argmax(-1)).all()
