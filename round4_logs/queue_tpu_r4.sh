@@ -49,3 +49,15 @@ SSQ_HARMONIZE=1 BENCH_ARCH=mnasnet \
   python -u bench.py > round4_logs/bench_mnasnet_harm.json 2>/tmp/bench_harm.err
 
 touch /tmp/queue_r4_bench_done
+
+# 7. MNV2 perf lever sweep: route small-spatial thin 1x1s to the int8
+#    path (SSQ_THIN_MINHW floor; thin_conv_probe round-3 showed int8
+#    wins <=28px) + full-int8 extreme; fresh numbers post bf16_codes fix
+for MINHW in 0 29 57 115; do
+  SSQ_THIN_MINHW=$MINHW BENCH_ARCH=mobilenetv2 python -u bench.py \
+    > round4_logs/bench_mnv2_minhw$MINHW.json 2>/dev/null
+done
+SSQ_THIN_CHANNELS=0 BENCH_ARCH=mobilenetv2 python -u bench.py \
+  > round4_logs/bench_mnv2_allint8.json 2>/dev/null
+
+touch /tmp/queue_r4_mnv2_done
