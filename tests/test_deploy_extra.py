@@ -348,3 +348,45 @@ class TestMobileNetV2Deploy:
         rel = np.abs(sim - dep).mean() / (np.abs(sim).mean() + 1e-9)
         assert rel < 0.15, rel
         assert (sim.argmax(-1) == dep.argmax(-1)).all()
+
+
+class TestHarmonizeSurvivesRecalibration:
+    def test_reharmonize_after_recalibrate(self):
+        """Act re-calibration (the cli post-recon step) replaces every
+        QParams and silently splits harmonized chains (round-3
+        harm_accuracy shipped with sum_sites=0); re-harmonizing must
+        restore equal member deltas and the deploy sum-site."""
+        from shiftedscalequantization_tpu.quantize import \
+            harmonize_residual_chains
+        t = TestResidualChainHarmonization()
+        graph = t._chain_graph()
+        raw = resnet.init_params(jax.random.PRNGKey(3), graph)
+        cfg = ssq.QuantConfig(n_bits_w=4, n_bits_a=4, w_scale_method="max",
+                              a_scale_method="max",
+                              use_8bit_head_stem=False)
+        params, qstate = ssq.prepare_model(graph, raw, cfg)
+        x = jax.random.normal(jax.random.PRNGKey(4), (4, 16, 16, 3))
+        qstate = ssq.calibrate_acts(graph, params, qstate, x, cfg)
+        qstate, ratios = harmonize_residual_chains(graph, qstate)
+        assert len(ratios) >= 3
+
+        def member_deltas(qs):
+            return [float(np.asarray(qs[n].aq.delta)) for n in ratios]
+
+        # re-calibration (cli.py post-recon) destroys the shared step
+        qstate2 = ssq.calibrate_acts(graph, params, qstate, x, cfg)
+        assert len(set(member_deltas(qstate2))) > 1
+        steps2 = deploy.act_steps_from_qstate(graph, qstate2)
+        dp2 = deploy.build_deploy_params(graph, params, qstate2)
+        plan2 = deploy.make_deploy_plan(graph, dp2, steps2,
+                                        input_hw=(16, 16))
+        assert len(plan2["__sum_steps__"]) == 0
+
+        # re-harmonizing restores it
+        qstate3, _ = harmonize_residual_chains(graph, qstate2)
+        assert len(set(member_deltas(qstate3))) == 1
+        steps3 = deploy.act_steps_from_qstate(graph, qstate3)
+        dp3 = deploy.build_deploy_params(graph, params, qstate3)
+        plan3 = deploy.make_deploy_plan(graph, dp3, steps3,
+                                        input_hw=(16, 16))
+        assert len(plan3["__sum_steps__"]) >= 1
