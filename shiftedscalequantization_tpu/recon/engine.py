@@ -92,6 +92,16 @@ class ReconSettings:
     auto_candidates: bool = False
     # L_p norm for the activation-delta phase (reference --p, default 2.4)
     act_p: float = 2.4
+    # fused effective-dequant runs: fraction of the iteration budget spent
+    # on a post-harden ROUNDING-ONLY refinement (selection frozen at the
+    # hard argmax, AdaRound beta re-optimized on the baked per-(oc,ic)
+    # effective deltas — the reference's two-phase round pass,
+    # layer_recon_shiftedScale.py:42-44 update_delta + adaround, applied
+    # after fused hardening). Coarse candidate sets NEED this: the soft
+    # mixture represents values BETWEEN candidates that vanish at argmax
+    # (x16 demo: soft 0.82 -> hard 18.8 without it). Total iteration
+    # count stays s.iters (the budget is split, not extended).
+    post_round_frac: float = 0.5
 
 
 def lp_loss_cl(pred, tgt, p):
@@ -160,6 +170,12 @@ def _init_quantizers(params, qstate, unit_names, s: ReconSettings):
             # phase 2 of two-phase: expects qstate[...].wq to be a hardened
             # ShiftedScaleWQ (codes=False) from a 'shift' run
             wq = W.bake_shift_to_adaround(qstate[name].wq, w)
+            t["alpha"] = wq.alpha
+        elif s.mode == "round_refine":
+            # post-harden rounding refinement: qstate[...].wq is already a
+            # baked AdaRoundWQ (st_index set) — re-open the rounding
+            # logits, keep the hard selection frozen
+            wq = dataclasses.replace(qstate[name].wq, soft=True)
             t["alpha"] = wq.alpha
         else:
             raise ValueError(s.mode)
@@ -234,7 +250,7 @@ def _reg_terms(qstate, unit_names, step, s: ReconSettings, is_block):
             r += Q.round_regularizer(Q.rectified_sigmoid(wq.beta), b)
             sreg += Q.round_regularizer(wq.soft_targets(), b2)
         return gate * (s.lmda_r * r + s.lmda_s * sreg)
-    if s.mode in ("brecq", "round"):
+    if s.mode in ("brecq", "round", "round_refine"):
         b = Q.linear_temp_decay(step, s.iters, s.warmup,
                                 s.b_range[0], s.b_range[1])
         r = zero
@@ -402,6 +418,17 @@ def reconstruct_node(graph, params, qstate, node_name: str,
     unit_names = node_unit_names(node)
     qstate, theta = _init_quantizers(params, qstate, unit_names, s)
 
+    # effective-dequant fused runs split the budget: (1-frac) joint
+    # selection+rounding, then frac rounding-only on the hardened
+    # selection (see ReconSettings.post_round_frac)
+    refine_iters = 0
+    if s.mode == "fused" and s.post_round_frac > 0 and any(
+            isinstance(qstate[n].wq, W.ShiftedScaleWQ)
+            and qstate[n].wq.dequant == "effective" for n in unit_names):
+        refine_iters = int(s.iters * s.post_round_frac)
+    if refine_iters:
+        s = dataclasses.replace(s, iters=s.iters - refine_iters)
+
     p_norm = s.p if s.p is not None else (2.0 if is_block else 1.0)
     flags = Flags(weight_on=frozenset(unit_names),
                   output_affine=s.opt_output_affine)
@@ -473,6 +500,19 @@ def reconstruct_node(graph, params, qstate, node_name: str,
     qstate = _harden(qstate, unit_names, s.mode)
     metrics["hard_loss"] = eval_rec(qstate)
     metrics["selection_ratio"] = selection_ratios(qstate, unit_names)
+
+    if refine_iters and all(
+            isinstance(qstate[n].wq, W.AdaRoundWQ)
+            and qstate[n].wq.st_index is not None for n in unit_names):
+        s2 = dataclasses.replace(s, mode="round_refine",
+                                 iters=refine_iters, post_round_frac=0.0)
+        qstate, m2 = reconstruct_node(
+            graph, params, qstate, node_name, cached_inp, cached_out, s2,
+            jax.random.fold_in(key, 991), cached_grads=cached_grads,
+            chunk_runner=chunk_runner)
+        metrics["hard_loss_prerefine"] = metrics["hard_loss"]
+        metrics["hard_loss"] = m2["hard_loss"]
+        metrics["refine_trace"] = m2.get("rec_trace")
     return qstate, metrics
 
 

@@ -175,3 +175,52 @@ class TestEffectiveDeploy:
                     (jnp.abs(sim).mean() + 1e-9))
         assert rel < 0.15, rel
         assert (jnp.argmax(sim, -1) == jnp.argmax(dep, -1)).mean() >= 0.95
+
+
+class TestPostHardenRefine:
+    def test_refine_recovers_hardening_loss(self):
+        """Coarse candidates make the soft fused mixture a crutch that
+        vanishes at argmax (x16 demo: soft 0.82 -> hard 18.8); the
+        post-harden rounding-only refinement (post_round_frac) must pull
+        the hard loss back toward the soft loss at UNCHANGED total
+        iteration budget."""
+        import dataclasses
+
+        import shiftedscalequantization_tpu as ssq
+        from shiftedscalequantization_tpu.models import resnet, zoo
+        from shiftedscalequantization_tpu.recon import ReconSettings, \
+            capture_io, reconstruct_node
+        from shiftedscalequantization_tpu.graph import Flags
+
+        graph, _ = zoo.build("resnet18", dataset="cifar10", num_classes=10)
+        raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+        cfg = ssq.QuantConfig(n_bits_w=2, n_bits_a=4, w_scale_method="max",
+                              a_scale_method="max")
+        params, qstate = ssq.prepare_model(graph, raw, cfg)
+        calib = jax.random.normal(jax.random.PRNGKey(1), (32, 32, 32, 3))
+        qstate = ssq.calibrate_acts(graph, params, qstate, calib, cfg)
+        ci, co = capture_io(graph, params, qstate, "model.layer1.0", calib,
+                            inp_flags=Flags(), out_flags=Flags(),
+                            batch_size=16)
+        base = dict(mode="fused", iters=60, batch_size=16,
+                    shift_targets=(0.0625, 0.25, 1.0),
+                    fused_dequant="effective", opt_beta=True)
+        s_off = ReconSettings(**base, post_round_frac=0.0)
+        s_on = ReconSettings(**base, post_round_frac=0.5)
+        _, m_off = reconstruct_node(graph, params, qstate, "model.layer1.0",
+                                    ci, co, s_off, jax.random.PRNGKey(2))
+        qs_on, m_on = reconstruct_node(graph, params, qstate,
+                                       "model.layer1.0", ci, co, s_on,
+                                       jax.random.PRNGKey(2))
+        h_off = float(m_off["hard_loss"])
+        h_pre = float(m_on["hard_loss_prerefine"])
+        h_on = float(m_on["hard_loss"])
+        # refinement must improve on its own pre-refine hard loss, and
+        # beat the no-refine run at the same total budget
+        assert h_on < h_pre, (h_on, h_pre)
+        assert h_on < h_off, (h_on, h_off)
+        # hardened form stays the deployable baked AdaRound
+        from shiftedscalequantization_tpu.ops import wquant as W
+        wq = qs_on["model.layer1.0.conv1"].wq
+        assert isinstance(wq, W.AdaRoundWQ) and wq.st_index is not None \
+            and not wq.soft
