@@ -25,8 +25,8 @@ python -u run_accuracy.py --arch mobilenetv2 --platform tpu \
 touch /tmp/queue_r4_done
 
 # 4. ResNet-50 trained-state pipeline + deploy parity
-python -u run_accuracy.py --arch resnet50 --platform tpu \
-  --only synth10:brecq:W2A4 --out ACCURACY_r50_r4.md \
+python -u run_accuracy.py --arch resnet50 --platform tpu --iters 300 \
+  --iters_a 150 --only synth10:brecq:W2A4 --out ACCURACY_r50_r4.md \
   > /tmp/run_acc_r50_r4.log 2>&1
 
 # 5. RegNetX-600M: train on synth10 (cifar variant), then pipeline +
@@ -34,8 +34,8 @@ python -u run_accuracy.py --arch resnet50 --platform tpu \
 python -u -m shiftedscalequantization_tpu.train --arch regnetx_600m \
   --dataset synth10 --steps 3000 --batch_size 128 \
   --out trained_regnetx_600m_synth10.npz > /tmp/train_regnet_r4.log 2>&1
-python -u run_accuracy.py --arch regnetx_600m --platform tpu \
-  --only synth10:brecq:W2A4 --out ACCURACY_regnet_r4.md \
+python -u run_accuracy.py --arch regnetx_600m --platform tpu --iters 300 \
+  --iters_a 150 --only synth10:brecq:W2A4 --out ACCURACY_regnet_r4.md \
   > /tmp/run_acc_regnet_r4.log 2>&1
 
 touch /tmp/queue_r4_all_done
@@ -61,3 +61,12 @@ SSQ_THIN_CHANNELS=0 BENCH_ARCH=mobilenetv2 python -u bench.py \
   > round4_logs/bench_mnv2_allint8.json 2>/dev/null
 
 touch /tmp/queue_r4_mnv2_done
+
+# 8. Re-run both advantage demos with the post-harden rounding refinement
+#    (engine post_round_frac, commit c4167e1) — same budgets
+python -u advantage_demo.py --platform tpu --iters 2000 \
+  --out round4_logs/advantage_demo.json > /tmp/adv_r4_x4b.log 2>&1
+python -u advantage_demo.py --platform tpu --iters 2000 \
+  --scales 1,1,16 --shift_targets 0.0625,0.25,1.0 --act_quant false \
+  --out round4_logs/advantage_demo_x16.json > /tmp/adv_r4_x16b.log 2>&1
+touch /tmp/queue_r4_demos2_done
