@@ -70,3 +70,11 @@ python -u advantage_demo.py --platform tpu --iters 2000 \
   --scales 1,1,16 --shift_targets 0.0625,0.25,1.0 --act_quant false \
   --out round4_logs/advantage_demo_x16.json > /tmp/adv_r4_x16b.log 2>&1
 touch /tmp/queue_r4_demos2_done
+
+# 9. MNASNet with 2-term int8 pair transport (no harmonization): the
+#    compile-wedge trigger does not reproduce in the round-3 2-term form
+#    (pair_compile_probe green); measure whether exact pair transport
+#    alone closes the 0.75x no-harmonize gap
+SSQ_PAIR_TRANSPORT=1 BENCH_ARCH=mnasnet timeout 1800 python -u bench.py \
+  > round4_logs/bench_mnasnet_pairs.json 2>/tmp/bench_pairs.err
+touch /tmp/queue_r4_pairs_done
