@@ -78,3 +78,20 @@ touch /tmp/queue_r4_demos2_done
 SSQ_PAIR_TRANSPORT=1 BENCH_ARCH=mnasnet timeout 1800 python -u bench.py \
   > round4_logs/bench_mnasnet_pairs.json 2>/tmp/bench_pairs.err
 touch /tmp/queue_r4_pairs_done
+
+# 10. ResNet-18 fresh trained-state deploy parity (round-2 evidence
+#     refresh; cheap at 300 iters)
+python -u run_accuracy.py --arch resnet18 --platform tpu --iters 300 \
+  --iters_a 150 --only synth10:brecq:W2A4 --out ACCURACY_r18_r4.md \
+  > /tmp/run_acc_r18_r4.log 2>&1
+touch /tmp/queue_r4_final_done
+
+# 11. barrier-variant A/B: parity (5-way agreement on the trained mnasnet
+#     state) + MNV2/MNASNet throughput under SSQ_BF16_CAST=barrier
+SSQ_BF16_CAST=barrier python -u debug_precision.py ./checkPoint/r4_mnasnet \
+  mnasnet > /tmp/prec_barrier.log 2>&1
+SSQ_BF16_CAST=barrier BENCH_ARCH=mobilenetv2 python -u bench.py \
+  > round4_logs/bench_mnv2_barrier.json 2>/dev/null
+SSQ_BF16_CAST=barrier BENCH_ARCH=mnasnet python -u bench.py \
+  > round4_logs/bench_mnasnet_barrier.json 2>/dev/null
+touch /tmp/queue_r4_barrier_done

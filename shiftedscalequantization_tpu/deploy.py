@@ -582,7 +582,7 @@ def _site_fits_int8_concrete(st):
 
 
 def _bf16_codes_cast(t):
-    """int8 codes -> bf16 operand, routed through f32.
+    """int8 codes -> bf16 operand, avoiding a TPU miscompile.
 
     A DIRECT int8->bf16 convert feeding a grouped/depthwise
     conv_general_dilated miscompiles on the axon XLA:TPU backend: ~97% of
@@ -590,9 +590,19 @@ def _bf16_codes_cast(t):
     dense convs are unaffected, and the same graph is exact on XLA:CPU).
     This was the entire trained-MNV2/MNASNet deploy!=sim collapse
     (VERDICT r3 weak #2): every thin unit takes the bf16_codes plan kind,
-    so the whole network ran on NaN-poisoned convs. Casting via f32 (or an
-    optimization_barrier) avoids the bad fusion at zero cost — the convert
-    pair is elementwise and fuses into the surrounding epilogue."""
+    so the whole network ran on NaN-poisoned convs.
+
+    Two exact workarounds (both NaN-free in the isolated repro):
+      'f32' (default) — route the convert through f32; verified
+        end-to-end on the trained states (harm_accuracy / ACCURACY_mnv2
+        deploy rows), costs a 4-byte intermediate on depthwise-heavy nets
+        (~4% on MNV2/MNASNet bench rows);
+      'barrier' (SSQ_BF16_CAST=barrier) — direct int8->bf16 cast behind
+        an optimization_barrier: keeps the operand 2 bytes wide, only
+        blocks the bad convert+conv fusion."""
+    import os
+    if os.environ.get("SSQ_BF16_CAST", "f32") == "barrier":
+        return jax.lax.optimization_barrier(t.astype(jnp.bfloat16))
     return t.astype(jnp.float32).astype(jnp.bfloat16)
 
 
