@@ -236,12 +236,17 @@ runs = [
     # (channelQuant shiftTarget role; README-documented flags wired real)
     ("fused+beta", "fused", ["--opt_beta", "true", "--act_mode", "delta",
                              "--shift_targets", A.shift_targets]),
+    # the reference's two-phase stack (shift selection on full dequant
+    # values -> bake -> AdaRound): selection is optimized without the
+    # soft-mixture crutch, which matters on harsh imbalance where a big
+    # channel mis-assigned to a small candidate is unrecoverable
+    ("two_phase", "two_phase", ["--shift_targets", A.shift_targets]),
 ]
 results = {"imbalance": report, "fp_rel": rel, "runs": []}
 for tag, mode, extra in runs:
     print(f"\n===== advantage demo: {tag} (iters={A.iters}) =====")
     res = run_cli(tag, mode, extra)
-    if mode == "fused":
+    if mode in ("fused", "two_phase"):
         try:
             res["selection_vs_planted"] = selection_vs_planted(
                 f"./checkPoint/adv_{A.dataset}_{TAG}_{tag}", report,

@@ -95,3 +95,10 @@ SSQ_BF16_CAST=barrier BENCH_ARCH=mobilenetv2 python -u bench.py \
 SSQ_BF16_CAST=barrier BENCH_ARCH=mnasnet python -u bench.py \
   > round4_logs/bench_mnasnet_barrier.json 2>/dev/null
 touch /tmp/queue_r4_barrier_done
+
+# 12. x16 two-phase arm (reference shift->bake->round stack; selection
+#     optimized on full dequant values, no soft-mixture crutch)
+python -u advantage_demo.py --platform tpu --iters 2000 \
+  --scales 1,1,16 --shift_targets 0.0625,0.25,1.0 --act_quant false \
+  --out round4_logs/advantage_demo_x16.json > /tmp/adv_r4_x16c.log 2>&1
+touch /tmp/queue_r4_x16c_done
