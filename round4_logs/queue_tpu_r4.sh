@@ -102,3 +102,14 @@ python -u advantage_demo.py --platform tpu --iters 2000 \
   --scales 1,1,16 --shift_targets 0.0625,0.25,1.0 --act_quant false \
   --out round4_logs/advantage_demo_x16.json > /tmp/adv_r4_x16c.log 2>&1
 touch /tmp/queue_r4_x16c_done
+
+# 13. dense-direct-cast optimization: re-verify parity + re-bench the
+#     headline and the depthwise families
+python -u debug_precision.py ./checkPoint/r4_mnasnet mnasnet \
+  > /tmp/prec_densecast.log 2>&1
+python -u bench.py > round4_logs/bench_r18_densecast.json 2>/dev/null
+BENCH_ARCH=mobilenetv2 python -u bench.py \
+  > round4_logs/bench_mnv2_densecast.json 2>/dev/null
+SSQ_HARMONIZE=1 BENCH_ARCH=mnasnet python -u bench.py \
+  > round4_logs/bench_mnasnet_harm2.json 2>/dev/null
+touch /tmp/queue_r4_densecast_done

@@ -592,18 +592,29 @@ def _bf16_codes_cast(t):
     (VERDICT r3 weak #2): every thin unit takes the bf16_codes plan kind,
     so the whole network ran on NaN-poisoned convs.
 
-    Two exact workarounds (both NaN-free in the isolated repro):
-      'f32' (default) — route the convert through f32; verified
-        end-to-end on the trained states (harm_accuracy / ACCURACY_mnv2
-        deploy rows), costs a 4-byte intermediate on depthwise-heavy nets
-        (~4% on MNV2/MNASNet bench rows);
-      'barrier' (SSQ_BF16_CAST=barrier) — direct int8->bf16 cast behind
-        an optimization_barrier: keeps the operand 2 bytes wide, only
-        blocks the bad convert+conv fusion."""
+    The miscompile is specific to feature_group_count > 1 (probed on-chip:
+    dense 3x3/1x1 convs with direct-cast int8 operands are exact, grouped
+    and depthwise NaN), so DENSE consumers keep the zero-cost direct cast
+    (``grouped=False``) and only grouped/depthwise consumers pay a
+    workaround. Two exact workarounds for those (both NaN-free in the
+    isolated repro AND at 99.9% trained-state parity end-to-end):
+      'f32' (default) — route the convert through f32; costs a 4-byte
+        intermediate (~4% on MNV2/MNASNet bench rows);
+      'barrier' (SSQ_BF16_CAST=barrier) — direct cast behind an
+        optimization_barrier; measured much slower (blocks all fusion
+        around the operand: MNV2 0.65x vs 0.90x) — kept for bisection."""
     import os
     if os.environ.get("SSQ_BF16_CAST", "f32") == "barrier":
         return jax.lax.optimization_barrier(t.astype(jnp.bfloat16))
     return t.astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def _bf16_operand(t, grouped: bool):
+    """int8 -> bf16 conv operand: direct (zero-cost) for dense consumers,
+    miscompile-safe cast for grouped/depthwise (see _bf16_codes_cast)."""
+    if grouped:
+        return _bf16_codes_cast(t)
+    return t.astype(jnp.bfloat16)
 
 
 def _round_act(x):
@@ -912,7 +923,7 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
             if kind_plan == "bf16_codes":
                 # centered codes as exact bf16 operands, f32 accumulate
                 if vkind == "codes":
-                    xc = _bf16_codes_cast(t)
+                    xc = _bf16_operand(t, spec.groups > 1)
                 elif vkind == "biased":
                     # biased sites have zp==0, so centered == raw q = t+128
                     xc = (t.astype(jnp.float32) + 128.0).astype(jnp.bfloat16)
@@ -922,7 +933,7 @@ def deploy_forward(graph: Graph, dparams: dict, act_steps: dict, x,
                     xc = q.astype(jnp.bfloat16)
 
                 def acc_fn(wg):
-                    wb = _bf16_codes_cast(wg)
+                    wb = _bf16_operand(wg, spec.groups > 1)
                     if spec.kind == "conv":
                         wt = jnp.transpose(wb, (2, 3, 1, 0))
                         pad = ((spec.padding[0], spec.padding[0]),
