@@ -111,14 +111,23 @@ def bench_arch(arch: str, batch: int, iters: int, hw: int):
     # int8->bf16 grouped-conv NaN bug, round4_logs/NOTES_deploy_nan.md)
     import numpy as np
     xs = x[:16]
-    sim_pred = np.asarray(jnp.argmax(jax.jit(
+    sim_log = np.asarray(jax.jit(
         lambda a: ssq.forward(graph, params_f32, qstate, a, flags_sim))(xs),
-        -1))
-    dep_pred = np.asarray(jnp.argmax(jax.jit(
+        dtype=np.float64)
+    dep_log = np.asarray(jax.jit(
         lambda a: deploy.deploy_forward(graph, dparams, steps, a,
-                                        plan_exact))(xs), -1))
-    agreement = float((sim_pred == dep_pred).mean())
-    return batch / q_t, batch / fp_t, q_t, fp_t, agreement
+                                        plan_exact))(xs), dtype=np.float64)
+    # Two parity signals: top-1 agreement, and logit relative MSE. On
+    # RANDOM weights the 1000-class logits are near-ties and the sim/deploy
+    # rounding-mode difference (half-even vs half-up) cascades through
+    # depth, so grouped families show imperfect agreement and rel-MSE up
+    # to ~1e-2 on random fixtures; trained states agree >=99% (ACCURACY.md
+    # five-family matrix). The rel-MSE is the miscompile detector: the
+    # round-3 NaN bug measures O(1)/NaN here, legitimate drift <~1e-2.
+    agreement = float((sim_log.argmax(-1) == dep_log.argmax(-1)).mean())
+    rel_mse = float(((sim_log - dep_log) ** 2).mean()
+                    / max(float((sim_log ** 2).mean()), 1e-30))
+    return batch / q_t, batch / fp_t, q_t, fp_t, agreement, rel_mse
 
 
 def _device_responsive(timeout_s: float) -> bool:
@@ -178,17 +187,19 @@ def main():
     extra_archs = [a for a in os.environ.get(
         "BENCH_EXTRA_ARCHS", "").split(",") if a]
 
-    ips, fp_ips, q_t, fp_t, agree = bench_arch(arch, batch, iters, hw)
+    ips, fp_ips, q_t, fp_t, agree, rel_mse = bench_arch(
+        arch, batch, iters, hw)
     extras = {
         "bf16_fp_images_per_sec": round(fp_ips, 1),
         "int_path_ms_per_batch": round(q_t * 1e3, 2),
         "bf16_ms_per_batch": round(fp_t * 1e3, 2),
         "deploy_sim_agreement": round(agree, 4),
+        "deploy_sim_logit_rel_mse": float(f"{rel_mse:.3e}"),
         "device": str(jax.devices()[0]),
     }
     for a in extra_archs:
         try:
-            i2, f2, _, _, _ = bench_arch(a, batch, iters, hw)
+            i2, f2, _, _, _, _ = bench_arch(a, batch, iters, hw)
             extras[a] = {"int8_images_per_sec": round(i2, 1),
                          "bf16_images_per_sec": round(f2, 1),
                          "vs_bf16": round(i2 / f2, 3)}
