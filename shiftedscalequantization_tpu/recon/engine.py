@@ -141,6 +141,20 @@ def resolve_dequant(dequant: str, shift_targets) -> str:
             else "unit")
 
 
+def _skip_shift(qp, targets) -> bool:
+    """High-bit units (the reference's 8-bit head/stem,
+    quant_model.py:59-69) get NO shift-candidate selection when the
+    candidate set is coarse: at >= 256 weight levels there is no
+    per-channel scale error left for a candidate to repair — selection
+    can only mis-assign (measured: the two-phase x16 demo's 8-bit fc
+    dropped 99.4 -> 73.8 at a 300-iter budget from exactly this; plain
+    AdaRound holds 99.4). Near-1 reference-style sets ({1 +- 1/32})
+    stay faithful — their selection is harmless there and parity tests
+    pin that behavior."""
+    return qp.n_bits >= 8 and \
+        max(abs(float(t) - 1.0) for t in targets) > 1.0 / 8
+
+
 def _init_quantizers(params, qstate, unit_names, s: ReconSettings):
     """Swap each unit's weight quantizer for the trainable form and build the
     initial theta pytree."""
@@ -154,22 +168,35 @@ def _init_quantizers(params, qstate, unit_names, s: ReconSettings):
         if s.mode == "fused":
             targets = W.rank_shift_candidates(qp, w) if s.auto_candidates \
                 else s.shift_targets
-            wq = W.init_shifted_scale(qp, w, targets,
-                                      dequant=resolve_dequant(
-                                          s.fused_dequant, targets))
-            t["alpha"] = wq.alpha
-            if s.opt_beta:
-                t["beta"] = wq.beta
+            if _skip_shift(qp, targets):
+                wq = W.init_adaround(qp, w)
+                t["alpha"] = wq.alpha
+            else:
+                wq = W.init_shifted_scale(qp, w, targets,
+                                          dequant=resolve_dequant(
+                                              s.fused_dequant, targets))
+                t["alpha"] = wq.alpha
+                if s.opt_beta:
+                    t["beta"] = wq.beta
         elif s.mode == "brecq":
             wq = W.init_adaround(qp, w)
             t["alpha"] = wq.alpha
         elif s.mode == "shift":
-            wq = W.init_shifted_scale_twophase(qp, w, s.shift_targets)
+            if _skip_shift(qp, s.shift_targets):
+                wq = W.init_adaround(qp, w)   # plain AdaRound pre-phase
+            else:
+                wq = W.init_shifted_scale_twophase(qp, w, s.shift_targets)
             t["alpha"] = wq.alpha
         elif s.mode == "round":
             # phase 2 of two-phase: expects qstate[...].wq to be a hardened
-            # ShiftedScaleWQ (codes=False) from a 'shift' run
-            wq = W.bake_shift_to_adaround(qstate[name].wq, w)
+            # ShiftedScaleWQ (codes=False) from a 'shift' run — or an
+            # AdaRoundWQ when the shift phase was skipped (8-bit unit):
+            # just re-open its rounding logits and keep optimizing
+            prev = qstate[name].wq
+            if isinstance(prev, W.AdaRoundWQ):
+                wq = dataclasses.replace(prev, soft=True)
+            else:
+                wq = W.bake_shift_to_adaround(prev, w)
             t["alpha"] = wq.alpha
         elif s.mode == "round_refine":
             # post-harden rounding refinement: qstate[...].wq is already a
@@ -247,6 +274,9 @@ def _reg_terms(qstate, unit_names, step, s: ReconSettings, is_block):
         sreg = zero
         for name in unit_names:
             wq = qstate[name].wq
+            if isinstance(wq, W.AdaRoundWQ):   # high-bit shift-skip unit
+                r += Q.round_regularizer(Q.rectified_sigmoid(wq.alpha), b)
+                continue
             r += Q.round_regularizer(Q.rectified_sigmoid(wq.beta), b)
             sreg += Q.round_regularizer(wq.soft_targets(), b2)
         return gate * (s.lmda_r * r + s.lmda_s * sreg)
@@ -260,12 +290,21 @@ def _reg_terms(qstate, unit_names, step, s: ReconSettings, is_block):
         w = s.weight if s.mode == "brecq" else s.lmda_r
         return gate * w * r
     if s.mode == "shift":
-        # entropy regularizer (layer_recon_shiftedScale.py:462-467)
+        # entropy regularizer (layer_recon_shiftedScale.py:462-467);
+        # high-bit shift-skip units carry an AdaRoundWQ instead and get
+        # the standard rounding regularizer
+        b = Q.linear_temp_decay(step, s.iters, s.warmup,
+                                s.b_range[0], s.b_range[1])
         r = zero
         for name in unit_names:
-            p = qstate[name].wq.soft_targets()
-            r += -(p * jnp.log(p + 1e-10)).sum()
-        return gate * s.lmda_s * r
+            wq = qstate[name].wq
+            if isinstance(wq, W.AdaRoundWQ):
+                r += s.lmda_r * Q.round_regularizer(
+                    Q.rectified_sigmoid(wq.alpha), b)
+                continue
+            p = wq.soft_targets()
+            r += s.lmda_s * -(p * jnp.log(p + 1e-10)).sum()
+        return gate * r
     return zero
 
 

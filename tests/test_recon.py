@@ -285,3 +285,61 @@ class TestOtherFamilies:
         # depthwise unit got a shifted-scale quantizer with per-IC alpha
         dw = qs2["model.features.1.conv.0"].wq
         assert isinstance(dw, W.ShiftedScaleWQ)
+
+
+class TestHighBitShiftSkip:
+    """8-bit units skip coarse shift-candidate selection (engine._skip_shift).
+
+    With >= 256 weight levels there is no per-channel scale error for a
+    candidate to repair; coarse candidates can only mis-assign (the
+    two-phase x16 demo's 8-bit fc dropped 99.4 -> 73.8 top-1 from this).
+    Reference-style near-1 sets keep the faithful ShiftedScaleWQ path."""
+
+    def _setup8(self):
+        graph = tiny_graph()
+        raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+        cfg = ssq.QuantConfig(n_bits_w=8, n_bits_a=8, w_scale_method="max",
+                              use_8bit_head_stem=False)
+        params, qstate = ssq.prepare_model(graph, raw, cfg)
+        cali = jax.random.normal(jax.random.PRNGKey(1), (32, 8, 8, 3))
+        return graph, params, qstate, cali
+
+    def test_two_phase_skips_selection_at_8bit(self):
+        graph, params, qstate, cali = self._setup8()
+        name = "model.fc"
+        cin, cout = _capture(graph, params, qstate, name, cali)
+        s1 = ReconSettings(mode="shift", iters=20, batch_size=16,
+                           shift_targets=(0.0625, 0.25, 1.0), lmda_s=0.01)
+        qs2, _ = reconstruct_node(graph, params, qstate, name, cin, cout,
+                                  s1, jax.random.PRNGKey(5))
+        wq = qs2[name].wq
+        assert isinstance(wq, W.AdaRoundWQ)       # selection skipped
+        s2 = ReconSettings(mode="round", iters=20, batch_size=16)
+        qs3, m2 = reconstruct_node(graph, params, qs2, name, cin, cout,
+                                   s2, jax.random.PRNGKey(6))
+        wq2 = qs3[name].wq
+        assert isinstance(wq2, W.AdaRoundWQ) and not wq2.soft
+        assert wq2.st_index is None               # no baked selection
+        assert np.isfinite(float(m2["hard_loss"]))
+
+    def test_fused_skips_selection_at_8bit(self):
+        graph, params, qstate, cali = self._setup8()
+        name = "model.fc"
+        cin, cout = _capture(graph, params, qstate, name, cali)
+        s = ReconSettings(mode="fused", iters=20, batch_size=16,
+                          shift_targets=(0.0625, 0.25, 1.0), opt_beta=True)
+        qs2, m = reconstruct_node(graph, params, qstate, name, cin, cout,
+                                  s, jax.random.PRNGKey(7))
+        assert isinstance(qs2[name].wq, W.AdaRoundWQ)
+        assert np.isfinite(float(m["hard_loss"]))
+
+    def test_near_one_targets_keep_selection_at_8bit(self):
+        graph, params, qstate, cali = self._setup8()
+        name = "model.fc"
+        cin, cout = _capture(graph, params, qstate, name, cali)
+        s1 = ReconSettings(mode="shift", iters=10, batch_size=16,
+                           shift_targets=(1 - 1 / 32, 1 + 1 / 32, 1.0),
+                           lmda_s=0.01)
+        qs2, _ = reconstruct_node(graph, params, qstate, name, cin, cout,
+                                  s1, jax.random.PRNGKey(5))
+        assert isinstance(qs2[name].wq, W.ShiftedScaleWQ)
