@@ -46,6 +46,11 @@ ap.add_argument("--shift_targets", default="0.25,0.5,1.0",
                 help="candidate set for the fused run (1/scale of each "
                      "factor repairs that third exactly)")
 ap.add_argument("--out", default="round3_logs/advantage_demo.json")
+ap.add_argument("--arms", default="brecq,fused+beta,two_phase",
+                help="comma list of arms to run; available: brecq, "
+                     "fused+beta, fused-nowarm, two_phase")
+ap.add_argument("--act_mode_fused", default="delta",
+                help="act phase for the fused arms (delta|shift|none)")
 ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
 ap.add_argument("--act_quant", default="true",
                 help="'false' runs both arms act-FP (the reference's W2 "
@@ -77,7 +82,11 @@ import numpy as np  # noqa: E402
 
 SRC = f"trained_resnet18_{A.dataset}.npz"
 TAG = "x".join(f"{s:g}" for s in SCALES)
-DST = f"trained_resnet18_{A.dataset}_imbalanced_{TAG}.npz"
+# seed-specific artifact names so seed-replication runs (VERDICT r4
+# weak #4) can run back to back without clobbering each other's planted
+# state or checkpoints; seed 7 keeps the historical names
+SEEDSFX = "" if A.seed == 7 else f"_s{A.seed}"
+DST = f"trained_resnet18_{A.dataset}_imbalanced_{TAG}{SEEDSFX}.npz"
 
 if A.quick:
     A.iters, A.iters_a = 4, 4
@@ -160,8 +169,11 @@ def run_cli(tag, mode, extra):
             "--iters_w", str(A.iters), "--iters_a", str(A.iters_a),
             "--num_samples", "256", "--batch_size", "64",
             "--act_quant", A.act_quant,
-            "--checkpoint_dir", f"./checkPoint/adv_{A.dataset}_{TAG}_{tag}",
-            "--log_path", f"/tmp/adv_{A.dataset}_{TAG}_{tag}.log"] + extra
+            "--seed", str(A.seed),
+            "--checkpoint_dir",
+            f"./checkPoint/adv_{A.dataset}_{TAG}_{tag}{SEEDSFX}",
+            "--log_path", f"/tmp/adv_{A.dataset}_{TAG}_{tag}{SEEDSFX}.log"
+            ] + extra
     buf = io.StringIO()
 
     class Tee(io.TextIOBase):
@@ -233,15 +245,26 @@ assert rel < 1e-4, rel
 runs = [
     ("brecq", "brecq", []),
     # fused+beta with the reference's coarse candidate set {1/4,1/2,1}
-    # (channelQuant shiftTarget role; README-documented flags wired real)
-    ("fused+beta", "fused", ["--opt_beta", "true", "--act_mode", "delta",
+    # (channelQuant shiftTarget role; README-documented flags wired real).
+    # The CLI default --fused_warmstart 0.25 re-seeds the joint selection
+    # from a short two-phase shift pre-solve (VERDICT r4 weak #1 fix)
+    ("fused+beta", "fused", ["--opt_beta", "true",
+                             "--act_mode", A.act_mode_fused,
                              "--shift_targets", A.shift_targets]),
+    # ablation: the round-4 joint path without the warm-start (collapsed
+    # to 7.8-29.2% on x16 — kept runnable for the before/after table)
+    ("fused-nowarm", "fused", ["--opt_beta", "true",
+                               "--act_mode", A.act_mode_fused,
+                               "--fused_warmstart", "0",
+                               "--shift_targets", A.shift_targets]),
     # the reference's two-phase stack (shift selection on full dequant
     # values -> bake -> AdaRound): selection is optimized without the
     # soft-mixture crutch, which matters on harsh imbalance where a big
     # channel mis-assigned to a small candidate is unrecoverable
     ("two_phase", "two_phase", ["--shift_targets", A.shift_targets]),
 ]
+arms = [a.strip() for a in A.arms.split(",") if a.strip()]
+runs = [r for r in runs if r[0] in arms]
 results = {"imbalance": report, "fp_rel": rel, "runs": []}
 for tag, mode, extra in runs:
     print(f"\n===== advantage demo: {tag} (iters={A.iters}) =====")
@@ -249,8 +272,8 @@ for tag, mode, extra in runs:
     if mode in ("fused", "two_phase"):
         try:
             res["selection_vs_planted"] = selection_vs_planted(
-                f"./checkPoint/adv_{A.dataset}_{TAG}_{tag}", report,
-                A.shift_targets)
+                f"./checkPoint/adv_{A.dataset}_{TAG}_{tag}{SEEDSFX}",
+                report, A.shift_targets)
             print("selection matches planted imbalance:",
                   json.dumps(res["selection_vs_planted"]))
         except Exception as e:

@@ -19,8 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-os.makedirs("/tmp/jax_cache_axon", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_axon")
+# BENCH_PLATFORM=cpu forces the local CPU backend (used by the gate's
+# fault-injection test; the env var alone is ignored — CLAUDE.md landmine 1)
+if os.environ.get("BENCH_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    _cache = "/tmp/jax_cache_cpu"
+else:
+    _cache = "/tmp/jax_cache_axon"
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import shiftedscalequantization_tpu as ssq
@@ -213,6 +220,21 @@ def main():
         "vs_baseline": round(ips / fp_ips, 3),
         "extra": extras,
     }
+    # ENFORCING deploy==sim parity gate (VERDICT r4 weak #2): a healthy
+    # throughput number must never ship on a numerically broken deploy
+    # path. The rel-MSE bound separates legitimate rounding-mode drift
+    # (<~1e-2 even on random-weight grouped fixtures) from the miscompile
+    # class (O(1) or NaN — round4_logs/NOTES_deploy_nan.md). NaN rel-MSE
+    # fails the <= comparison, so NaN logits trip the gate too.
+    gate = float(os.environ.get("BENCH_PARITY_RELMSE", "1e-2"))
+    if not (rel_mse <= gate):
+        result["extra"]["error"] = (
+            f"deploy-sim parity gate FAILED: logit rel-MSE {rel_mse:.3e} "
+            f"not <= {gate:g} (NaN or miscompile-class divergence)")
+        result["value"] = 0
+        result["vs_baseline"] = 0
+        print(json.dumps(result))
+        sys.exit(1)
     print(json.dumps(result))
 
 

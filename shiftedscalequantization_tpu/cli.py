@@ -171,6 +171,7 @@ def main(argv=None):
         lmda_r=0.01, lmda_s=args.lmda,
         shift_targets=shift_targets if args.bias_ch_quant else (1.0,),
         fused_dequant=args.fused_dequant,
+        warmstart_frac=args.fused_warmstart,
         opt_beta=args.opt_beta, opt_output_affine=args.bias_cal,
         rec_loss=args.opt_mode, auto_candidates=args.auto_candidates,
         act_p=args.p)
@@ -192,7 +193,8 @@ def main(argv=None):
         if sr:
             # reference print_ratio (layer_recon_fused_shiftedScale.py:13-21)
             for unit, ratios in sr.items():
-                vals = np.asarray(ratios).round(4).tolist()
+                vals = ratios if isinstance(ratios, str) \
+                    else np.asarray(ratios).round(4).tolist()
                 print(f"selection ratio {unit}: {vals}")
         done.append(name)
         ckpt.save_qstate(recon_ckpt, qs, done=done)  # per-layer resume point

@@ -604,6 +604,13 @@ def _bf16_codes_cast(t):
         optimization_barrier; measured much slower (blocks all fusion
         around the operand: MNV2 0.65x vs 0.90x) — kept for bisection."""
     import os
+    if os.environ.get("SSQ_FAULT_GROUPED_CAST") == "nan":
+        # test-only fault injection: emulate the round-3 XLA:TPU
+        # miscompile (NaN accumulators on grouped-conv operands,
+        # round4_logs/NOTES_deploy_nan.md) deterministically on any
+        # platform, so the bench parity gate's nonzero-exit behavior is
+        # testable on CPU (tests/test_bench_gate.py)
+        return (t.astype(jnp.float32) * jnp.nan).astype(jnp.bfloat16)
     if os.environ.get("SSQ_BF16_CAST", "f32") == "barrier":
         return jax.lax.optimization_barrier(t.astype(jnp.bfloat16))
     return t.astype(jnp.float32).astype(jnp.bfloat16)

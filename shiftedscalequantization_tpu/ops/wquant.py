@@ -332,6 +332,22 @@ def init_shifted_scale_twophase(qp: QParams, w: jax.Array,
                           shift_targets=tuple(shift_targets), codes=False)
 
 
+def warmstart_alpha(wq: ShiftedScaleWQ, alpha: jax.Array,
+                    w: jax.Array) -> ShiftedScaleWQ:
+    """Re-seed a fused quantizer's selection from a solved alpha (the
+    two-phase shift pre-solve) and re-derive the rounding logits on the
+    re-seeded argmax grid, exactly as init_shifted_scale does on its MSE
+    init: beta s.t. sigmoid(beta) = frac(w / effective_delta). Used by
+    the fused warm-start (engine.ReconSettings.warmstart_frac) — the
+    joint phase then starts from a selection that was optimized against
+    the network loss instead of the per-tensor MSE argmin, with rounding
+    logits consistent with that selection."""
+    wq = dataclasses.replace(wq, alpha=alpha)
+    delta_eff = wq.effective_delta(w)
+    rest = w / delta_eff - jnp.floor(w / delta_eff)
+    return dataclasses.replace(wq, beta=Q.inverse_rectified_sigmoid(rest))
+
+
 def bake_shift_to_adaround(wq: ShiftedScaleWQ, w: jax.Array) -> AdaRoundWQ:
     """Two-phase transition: bake chosen shifts into the effective delta
     (reference update_delta, channelQuant.py:296-298) then init AdaRound

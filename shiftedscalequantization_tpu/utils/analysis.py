@@ -54,6 +54,9 @@ def selection_summary(selection_ratios: dict) -> str:
     print_ratio output format, layer_recon_fused_shiftedScale.py:13-21)."""
     lines = []
     for name, ratios in selection_ratios.items():
+        if isinstance(ratios, str):   # e.g. 'skipped:high-bit' marker
+            lines.append(f"{name} : {ratios}")
+            continue
         r = np.asarray(ratios)
         parts = " ".join(f"{i}:{v:.3f}" for i, v in enumerate(r))
         lines.append(f"{name} : {parts}")

@@ -109,6 +109,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "'effective' whenever max|st-1| > 1/8 (the "
                         "round-3 advantage demos collapsed to chance "
                         "because coarse candidates ran under 'unit')")
+    p.add_argument("--fused_warmstart", default=0.25, type=float,
+                   help="fused mode, coarse candidates only: fraction of "
+                        "the iteration budget spent on a two-phase shift "
+                        "pre-solve whose solved selection re-seeds the "
+                        "joint phase (engine.ReconSettings.warmstart_"
+                        "frac). Repairs the joint path's selection "
+                        "mis-assignment on harsh per-IC imbalance "
+                        "(round-4 x16: fused 7.8%, fused+warmstart 99+). "
+                        "0 disables")
 
     # infra
     p.add_argument("--synthetic_data", default=None, type=_boolish,

@@ -112,6 +112,8 @@ class TestFusedRecon:
         assert float(metrics["hard_loss"]) < pre_loss
         # selection ratios are normalized per unit
         for u, r in metrics["selection_ratio"].items():
+            if isinstance(r, str):   # 'skipped:high-bit' marker
+                continue
             np.testing.assert_allclose(np.asarray(r).sum(), 1.0, atol=1e-6)
         # hardened quantizer is a hard ShiftedScaleWQ
         wq = qs2[units[0]].wq

@@ -476,7 +476,10 @@ class TestTwoPhaseParity:
         cout = jnp.asarray(out_fp.numpy().transpose(0, 2, 3, 1))
         s = ReconSettings(mode="fused", iters=iters, batch_size=bs,
                           lmda_r=lmda[0], lmda_s=lmda[1],
-                          shift_targets=sts)
+                          shift_targets=sts,
+                          # reference-faithful: beta is NOT in opt_params
+                          # (layer_recon_fused_shiftedScale.py:65-66)
+                          opt_beta=False)
         qs2, metrics = reconstruct_node(graph, params, qstate, "b", cin,
                                         cout, s, jax.random.PRNGKey(3))
 
