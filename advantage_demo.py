@@ -51,6 +51,14 @@ ap.add_argument("--arms", default="brecq,fused+beta,two_phase",
                      "fused+beta, fused-nowarm, two_phase")
 ap.add_argument("--act_mode_fused", default="delta",
                 help="act phase for the fused arms (delta|shift|none)")
+ap.add_argument("--extra", default="",
+                help="extra cli flags appended to every arm (shlex-split), "
+                     "e.g. '--act_mode shift --act_shift_targets "
+                     "1.0,0.25,0.0625'")
+ap.add_argument("--suffix", default="",
+                help="suffix for checkpoint/log paths so concurrent demo "
+                     "invocations on the same config don't clobber each "
+                     "other's per-layer checkpoints")
 ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
 ap.add_argument("--act_quant", default="true",
                 help="'false' runs both arms act-FP (the reference's W2 "
@@ -85,7 +93,7 @@ TAG = "x".join(f"{s:g}" for s in SCALES)
 # seed-specific artifact names so seed-replication runs (VERDICT r4
 # weak #4) can run back to back without clobbering each other's planted
 # state or checkpoints; seed 7 keeps the historical names
-SEEDSFX = "" if A.seed == 7 else f"_s{A.seed}"
+SEEDSFX = ("" if A.seed == 7 else f"_s{A.seed}") + A.suffix
 DST = f"trained_resnet18_{A.dataset}_imbalanced_{TAG}{SEEDSFX}.npz"
 
 if A.quick:
@@ -265,6 +273,10 @@ runs = [
 ]
 arms = [a.strip() for a in A.arms.split(",") if a.strip()]
 runs = [r for r in runs if r[0] in arms]
+if A.extra:
+    import shlex
+    extra_flags = shlex.split(A.extra)
+    runs = [(tag, mode, ex + extra_flags) for tag, mode, ex in runs]
 results = {"imbalance": report, "fp_rel": rel, "runs": []}
 for tag, mode, extra in runs:
     print(f"\n===== advantage demo: {tag} (iters={A.iters}) =====")

@@ -1,0 +1,169 @@
+"""ImageNet-readiness drill (VERDICT r4 missing-#1 insurance).
+
+Proves the "real ImageNet weights are a flag flip" claim literally, end
+to end, with zero mounts: synthesize (1) a BRECQ-release-format
+`.pth.tar` checkpoint from the actual reference torch ResNet-18
+(trash/hubconf.py:16-68 format) and (2) an ImageNet-shaped ImageFolder
+of real JPEG files, then run the UNMODIFIED cli.py entry with
+`--dataset imagenet --pretrained <pth.tar> --data_path <folder>` so the
+exact real-data code path executes: torch_import state-dict load,
+ImageFolderLoader / native C++ JPEG val loader, resize/crop/normalize
+math (data/imagenet_io.py), calibration capture, recon, act phase, and
+the golden-logit artifact (utils/eval.golden_logit_mse).
+
+A second --eval_only pass replays the checkpoint against the golden
+logits (MSE must be ~0) — the regression loop a real ImageNet user
+would run.
+
+Usage: python imagenet_drill.py [--platform cpu|tpu] [--iters 600]
+       [--quick]
+Writes round5_logs/imagenet_drill.json.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+ap.add_argument("--iters", type=int, default=600)
+ap.add_argument("--iters_a", type=int, default=300)
+ap.add_argument("--num_samples", type=int, default=256)
+ap.add_argument("--quick", action="store_true")
+ap.add_argument("--root", default="/tmp/ssq_imagenet_drill")
+ap.add_argument("--out", default="round5_logs/imagenet_drill.json")
+A = ap.parse_args()
+if A.quick:
+    A.iters, A.iters_a, A.num_samples = 4, 4, 64
+
+if A.platform == "cpu":
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+if A.platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    cache = "/tmp/jax_cache_cpu"
+else:
+    cache = "/tmp/jax_cache_axon"
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+
+REF = "/root/reference"
+N_CLASSES = 10
+N_TRAIN_PER = 40
+N_VAL_PER = 8
+
+
+def make_pth_tar(path: str):
+    """BRECQ release format: flat model.state_dict() for resnet18
+    (tests/test_torch_roundtrip.py pins this format for all five
+    families against the actual reference models)."""
+    import torch
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.resnet import resnet18
+    torch.manual_seed(0)
+    model = resnet18()
+    model.eval()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    torch.save(model.state_dict(), path)
+    return path
+
+
+def make_image_folder(root: str, seed=0):
+    """ImageNet-shaped ImageFolder: {root}/{train,val}/{class}/*.JPEG,
+    real JPEG files (PIL-encoded) at ImageNet-like sizes so the val
+    pipeline does true decode + resize-256 + center-crop-224 work."""
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    counts = {}
+    for split, n_per in (("train", N_TRAIN_PER), ("val", N_VAL_PER)):
+        for c in range(N_CLASSES):
+            d = os.path.join(root, split, f"n{c:08d}")
+            os.makedirs(d, exist_ok=True)
+            for i in range(n_per):
+                h = int(rng.integers(256, 460))
+                w = int(rng.integers(256, 460))
+                # class-correlated mean so labels aren't pure noise
+                base = np.full((h, w, 3), 20 * c + 30, np.float32)
+                img = np.clip(base + rng.normal(0, 40, (h, w, 3)), 0,
+                              255).astype(np.uint8)
+                Image.fromarray(img).save(
+                    os.path.join(d, f"img_{i:04d}.JPEG"), quality=90)
+            counts[f"{split}/{c}"] = n_per
+    return counts
+
+
+def main():
+    t0 = time.time()
+    os.makedirs(A.root, exist_ok=True)
+    pth = os.path.join(A.root, "resnet18_imagenet.pth.tar")
+    if not os.path.exists(pth):
+        make_pth_tar(pth)
+    if not os.path.isdir(os.path.join(A.root, "val")):
+        make_image_folder(A.root)
+    golden_dir = os.path.join("round5_logs", "golden_imagenet")
+    os.makedirs(golden_dir, exist_ok=True)
+
+    from shiftedscalequantization_tpu import cli
+
+    argv = ["--dataset", "imagenet", "--arch", "resnet18",
+            "--pretrained", pth, "--data_path", A.root,
+            "--mode", "brecq", "--n_bits_w", "2", "--n_bits_a", "4",
+            "--iters_w", str(A.iters), "--iters_a", str(A.iters_a),
+            "--num_samples", str(A.num_samples), "--batch_size", "32",
+            "--golden_dir", golden_dir,
+            "--checkpoint_dir", "./checkPoint/imagenet_drill",
+            "--log_path", "/tmp/imagenet_drill.log"]
+    if A.platform == "cpu":
+        argv += ["--platform", "cpu"]   # 'auto' = the axon TPU
+    final = cli.main(argv)
+    wall = time.time() - t0
+
+    # regression replay: eval_only against the golden artifact
+    t1 = time.time()
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        final2 = cli.main(argv + ["--eval_only", "true"])
+    replay_out = buf.getvalue()
+    sys.stdout.write(replay_out)
+    import re
+    m = re.search(r"golden-logit MSE: ([\deE.+-]+)", replay_out)
+    golden_mse = float(m.group(1)) if m else None
+
+    result = {
+        "cmd": "python imagenet_drill.py --iters %d --iters_a %d "
+               "--num_samples %d --platform %s"
+               % (A.iters, A.iters_a, A.num_samples, A.platform),
+        "checkpoint_format": "BRECQ .pth.tar (flat state_dict, "
+                             "trash/hubconf.py:16-68)",
+        "data_path": "ImageFolder JPEGs via data/imagenet_io.py "
+                     "(real decode+resize+crop+normalize)",
+        "final_top1": final["top1"] if isinstance(final, dict) else final,
+        "eval_only_top1": final2["top1"] if isinstance(final2, dict)
+        else final2,
+        "golden_logit_mse_on_replay": golden_mse,
+        "golden_artifact": os.path.join(golden_dir, "result_2bit.npz"),
+        "wall_s": round(wall, 1), "replay_wall_s": round(time.time() - t1, 1),
+    }
+    os.makedirs(os.path.dirname(A.out), exist_ok=True)
+    with open(A.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,8 +38,17 @@ def seed_all(seed: int):
 
 
 def build_everything(args):
-    graph, _ = zoo.build(args.arch, dataset=args.dataset)
-    if getattr(args, "pretrained", None):
+    graph, km_fn = zoo.build(args.arch, dataset=args.dataset)
+    if getattr(args, "pretrained", None) \
+            and args.pretrained.endswith((".pth", ".pth.tar")):
+        # BRECQ-release torch checkpoint (the reference's hubconf load,
+        # trash/hubconf.py:16-68): flat state_dict / {'model': sd}
+        # wrapping both handled by the importer. This is the real-
+        # ImageNet-weights entry point — same flag, different extension.
+        from .utils import torch_import
+        sd = torch_import.load_state_dict(args.pretrained)
+        raw = torch_import.params_from_state_dict(graph, km_fn(graph), sd)
+    elif getattr(args, "pretrained", None):
         # trained raw params from the on-device trainer (the reference's
         # hubconf pretrained-checkpoint role, trash/hubconf.py:16-68)
         from .train import load_raw_params
@@ -111,12 +120,15 @@ def main(argv=None):
     recon_ckpt = f"{args.checkpoint_dir}/QNN_W{args.n_bits_w}_A{args.n_bits_a}"
 
     if args.eval_only:
-        # checkpoint replay (reference myProject.py:71-89)
+        # checkpoint replay (reference myProject.py:71-89), routed through
+        # the golden-logit regression when --golden_dir is set (the
+        # reference's validate_with_loss replay, common.py:224-293)
         qstate, done = ckpt.load_qstate(recon_ckpt)
         prefix = Flags(output_affine=args.bias_cal).all_weights(graph)
         aflags = act_flags(graph, cfg, base=prefix) if args.act_quant \
             else prefix
-        acc = validate_model(graph, params, qstate, test_loader, aflags)
+        acc = _final_validate(graph, params, qstate, test_loader, aflags,
+                              args)
         print(f"eval-only W{args.n_bits_w}A{args.n_bits_a} "
               f"(done={len(done)} layers): {acc}")
         return acc
@@ -170,6 +182,7 @@ def main(argv=None):
         warmup=args.warmup, weight=args.weight,
         lmda_r=0.01, lmda_s=args.lmda,
         shift_targets=shift_targets if args.bias_ch_quant else (1.0,),
+        act_shift_targets=parse_shift_targets(args.act_shift_targets),
         fused_dequant=args.fused_dequant,
         warmstart_frac=args.fused_warmstart,
         opt_beta=args.opt_beta, opt_output_affine=args.bias_cal,

@@ -123,6 +123,24 @@ class ReconSettings:
     # s.iters (warmstart + joint + post-round refine are all carved from
     # the same budget).
     warmstart_frac: float = 0.0
+    # freeze the selection at the pre-solve's hard argmax for the joint
+    # phase (alpha leaves theta; forward one-hot-selects). Measured
+    # necessary, not optional: with the selection left trainable the
+    # joint soft-mixture phase DEGRADES the solved assignment (x16,
+    # 300 iters: selection-vs-planted 0.73/0.55 after the pre-solve
+    # falls to ~0.4-0.5 through the joint phase, final 8.1% — the soft
+    # mixture represents values between candidates, so the loss happily
+    # trades selection mass for rounding slack and the argmax decays).
+    # With freeze the remaining budget optimizes rounding on the solved
+    # grids, which is exactly what survives hardening.
+    warmstart_freeze: bool = True
+    # candidate set for the activation shifted-scale phase
+    # (reconstruct_act_shift / CLI --act_mode shift): per-channel step
+    # multipliers. The reference's intended ChannelQuantAct set is
+    # {1, 1/2} (channelQuantAct.py:6-134); harsh per-channel activation
+    # spreads (the x16 demo's conv1 outputs) need candidates that reach
+    # the spread, e.g. {1, 1/4, 1/16}
+    act_shift_targets: tuple = (1.0, 0.5)
 
 
 def lp_loss_cl(pred, tgt, p):
@@ -201,7 +219,13 @@ def _init_quantizers(params, qstate, unit_names, s: ReconSettings,
                                               s.fused_dequant, targets))
                 if warm_alphas and name in warm_alphas:
                     wq = W.warmstart_alpha(wq, warm_alphas[name], w)
-                t["alpha"] = wq.alpha
+                    if s.warmstart_freeze:
+                        # selection locked at the solved argmax; only
+                        # rounding trains (see warmstart_freeze note)
+                        wq = dataclasses.replace(wq, hard_targets=True)
+                if not (warm_alphas and name in warm_alphas
+                        and s.warmstart_freeze):
+                    t["alpha"] = wq.alpha
                 if s.opt_beta:
                     t["beta"] = wq.beta
         elif s.mode == "brecq":
@@ -681,7 +705,7 @@ def selection_ratios(qstate, unit_names):
 def reconstruct_act_shift(graph, params, qstate, node_name: str,
                           cached_inp, cached_out, s: ReconSettings,
                           key: jax.Array,
-                          shift_targets=(1.0, 0.5)):
+                          shift_targets=None):
     """Activation shifted-scale reconstruction (the fused act branch,
     reference layer_recon_fused_shiftedScale.py:37-57 with the intended
     ChannelQuantAct behavior): swap every act quantizer in the node — unit
@@ -693,6 +717,8 @@ def reconstruct_act_shift(graph, params, qstate, node_name: str,
 
     from ..graph import apply_node_multi_capture
 
+    if shift_targets is None:
+        shift_targets = s.act_shift_targets
     node = find_node(graph, node_name)
     unit_names = node_unit_names(node)
     qstate = dict(qstate)

@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shift-reg weight lambda_S")
     p.add_argument("--shift_targets", default="0.96875,1.03125,1.0", type=str,
                    help="comma-separated shift candidates")
+    p.add_argument("--act_shift_targets", default="1.0,0.5", type=str,
+                   help="comma-separated per-channel candidates for the "
+                        "activation shift phase (--act_mode shift; the "
+                        "reference ChannelQuantAct's intended {1,1/2} set "
+                        "— widen to e.g. 1.0,0.25,0.0625 for harsh "
+                        "per-channel activation spreads)")
     p.add_argument("--fused_dequant", default="auto",
                    choices=("auto", "unit", "effective"),
                    help="fused candidate dequant semantics: 'unit' = "
