@@ -184,6 +184,7 @@ def main(argv=None):
         shift_targets=shift_targets if args.bias_ch_quant else (1.0,),
         act_shift_targets=parse_shift_targets(args.act_shift_targets),
         fused_dequant=args.fused_dequant,
+        post_round_frac=args.post_round_frac,
         warmstart_frac=args.fused_warmstart,
         opt_beta=args.opt_beta, opt_output_affine=args.bias_cal,
         rec_loss=args.opt_mode, auto_candidates=args.auto_candidates,

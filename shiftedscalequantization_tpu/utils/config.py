@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "'effective' whenever max|st-1| > 1/8 (the "
                         "round-3 advantage demos collapsed to chance "
                         "because coarse candidates ran under 'unit')")
+    p.add_argument("--post_round_frac", default=0.5, type=float,
+                   help="fused effective-dequant runs: fraction of the "
+                        "budget spent on the post-harden rounding-only "
+                        "refinement (engine.ReconSettings.post_round_frac)")
     p.add_argument("--fused_warmstart", default=0.25, type=float,
                    help="fused mode, coarse candidates only: fraction of "
                         "the iteration budget spent on a two-phase shift "
