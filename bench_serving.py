@@ -84,7 +84,9 @@ if A.packed:
 
     cpu = jax.local_devices(backend="cpu")[0]
     tpu = jax.devices()[0]
-    M, K, N = 1, 8192, 8192
+    M = int(os.environ.get("PACKED_M", 1))
+    K = int(os.environ.get("PACKED_K", 8192))
+    N = int(os.environ.get("PACKED_N", 8192))
     with jax.default_device(cpu):
         key = jax.random.PRNGKey(0)
         x = jax.random.normal(key, (M, K), jnp.float32)
