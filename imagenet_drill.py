@@ -115,6 +115,12 @@ def main():
         make_image_folder(A.root)
     golden_dir = os.path.join("round5_logs", "golden_imagenet")
     os.makedirs(golden_dir, exist_ok=True)
+    stale = os.path.join(golden_dir, "result_2bit.npz")
+    if os.path.exists(stale):
+        # a previous invocation's artifact would make the fresh run's
+        # golden comparison (and the replay) measure run-vs-run drift
+        # instead of replay determinism
+        os.remove(stale)
 
     from shiftedscalequantization_tpu import cli
 
