@@ -80,7 +80,10 @@ class TestShardedCaptureRecon:
             graph, params, qstate, name, cin, cout, s, key, mesh)
         a1 = np.asarray(qs_single["model.layer1.0.conv1"].wq.alpha)
         a2 = np.asarray(qs_multi["model.layer1.0.conv1"].wq.alpha)
-        np.testing.assert_allclose(a1, a2, rtol=1e-4, atol=1e-5)
+        # f32 reduction-order noise between the GSPMD and single-device
+        # schedules accumulates over 30 Adam steps; with opt_beta now in
+        # theta by default the drift can cross 1e-5 on an odd element
+        np.testing.assert_allclose(a1, a2, rtol=1e-4, atol=5e-5)
         np.testing.assert_allclose(float(m1["hard_loss"]),
                                    float(m2["hard_loss"]), rtol=1e-4)
 
