@@ -103,11 +103,16 @@ if A.packed:
 
     act_delta, act_zp = 4.0 / 15, 7.0
 
-    def run_packed(x):
+    # weights are passed as JIT ARGUMENTS, never closed over: closure-
+    # captured arrays serialize into the remote compile payload as
+    # constants and the service rejects them above its size limit
+    # (observed HTTP 413 at K=N=16384 int8 = 256 MB; CLAUDE.md
+    # landmine 9)
+    def run_packed(x, wp, scale, bias):
         return packed_quant_matmul(x, wp, jnp.full((N,), 2.0), scale, bias,
                                    act_delta, act_zp, bits=2)
 
-    def run_int8_xla(x):
+    def run_int8_xla(x, w_int8, scale, bias):
         # same math through XLA: quantize act -> int8 matmul -> dequant
         xq = jnp.clip(jnp.round(x / act_delta) + act_zp, 0, 15) - act_zp
         acc = jax.lax.dot_general(
@@ -115,14 +120,36 @@ if A.packed:
             preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * (act_delta * scale)
 
-    def run_bf16(x):
+    def run_bf16(x, w_bf16, scale, bias):
         return (x.astype(jnp.bfloat16) @ w_bf16).astype(jnp.float32)
+
+    def time_fn_args(fn, x, extras, iters):
+        """bench.time_fn with the big operands as real jit arguments."""
+        import time as _time
+
+        def run_body(x, extras):
+            def body(acc, i):
+                y = fn(x + i.astype(x.dtype) * 1e-6, *extras)
+                return acc + y.sum(dtype=jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                  jnp.arange(iters, dtype=jnp.int32))
+            return acc
+        run = jax.jit(run_body)
+        float(run(x, extras))
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            float(run(x, extras))
+            best = min(best, _time.perf_counter() - t0)
+        return best / iters
 
     iters = 200
     rows = {}
-    for name, fn in (("packed_w2", run_packed), ("int8_xla", run_int8_xla),
-                     ("bf16", run_bf16)):
-        t = bench.time_fn(fn, x, iters)
+    for name, fn, extras in (
+            ("packed_w2", run_packed, (wp, scale, bias)),
+            ("int8_xla", run_int8_xla, (w_int8, scale, bias)),
+            ("bf16", run_bf16, (w_bf16, scale, bias))):
+        t = time_fn_args(fn, x, extras, iters)
         wbytes = {"packed_w2": K * N // 16 * 4, "int8_xla": K * N,
                   "bf16": K * N * 2}[name]
         rows[name] = {"ms": round(t * 1e3, 4),
