@@ -147,9 +147,14 @@ def main(argv=None):
                   f"(worst step coarsening {worst:.2f}x)")
         return qs
 
+    overrides = {}
+    for kv in filter(None, args.act_bits_overrides.split(",")):
+        site, bits = kv.split("=")
+        overrides[site.strip()] = int(bits)
+
     if args.act_quant:
         qstate = calibrate_acts(graph, params, qstate, cali_data[:64], cfg,
-                                flags=wflags)
+                                flags=wflags, bit_overrides=overrides)
         qstate = maybe_harmonize(qstate, "pre-recon")
     if args.make_checkpoint:
         # save initialized (pre-recon) quantizer state and exit (reference
@@ -257,7 +262,7 @@ def main(argv=None):
         # steps must be re-derived (round-3 harm_accuracy ran with
         # sum_sites=0 because this was missing).
         qstate = calibrate_acts(graph, params, qstate, cali_data[:64], cfg,
-                                flags=prefix)
+                                flags=prefix, bit_overrides=overrides)
         qstate = maybe_harmonize(qstate, "post-recon")
     if args.act_quant and act_mode != "none" and args.iters_a > 0:
         act_settings = dataclasses.replace(settings, iters=args.iters_a,

@@ -142,14 +142,32 @@ def act_flags(graph: Graph, cfg: QuantConfig, base: Optional[Flags] = None,
 
 def calibrate_acts(graph: Graph, params, qstate, cali_batch, cfg: QuantConfig,
                    flags: Optional[Flags] = None,
-                   disable_output_quant: bool = True):
+                   disable_output_quant: bool = True,
+                   bit_overrides: Optional[dict] = None):
     """Initialize all activation quantizers in one traced pass over
     ``cali_batch`` (typically cali_data[:64]) and return a new qstate with
     aq set. ``flags`` controls which weight quantizers are live during
-    calibration (reference: set_quant_state(True, False) then forward)."""
+    calibration (reference: set_quant_state(True, False) then forward).
+
+    ``bit_overrides``: {site name: n_bits} — per-site act-precision
+    overrides (mixed-precision activations). The reference's 8-bit
+    head/stem rule (quant_model.py:59-69) generalized to ANY site: a
+    deep net at A4 is often bottlenecked by one or two dominant act
+    sites (measured: ResNet-50 W2A4's model.layer3.5 block site alone
+    costs 22 top-1 points — ACCURACY_r50_r5.md), and lifting just those
+    to 8 bit recovers most of the gap at negligible serving cost (the
+    deploy path already handles 8-bit-fed consumers via nibble-split
+    convs). Unknown site names raise KeyError."""
     if flags is None:
         flags = Flags().all_weights(graph)
     sites = act_quant_sites(graph, cfg, disable_output_quant)
+    if bit_overrides:
+        for name, bits in bit_overrides.items():
+            if name not in sites:
+                raise KeyError(
+                    f"act bit override for unknown/siteless act site "
+                    f"{name!r}; known sites: {sorted(sites)}")
+            sites[name] = int(bits)
     new_aq = jax.jit(
         lambda p, qs, x: init_act_quant(
             graph, p, qs, x, flags, sites, act_sym=False,

@@ -99,6 +99,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shift-reg weight lambda_S")
     p.add_argument("--shift_targets", default="0.96875,1.03125,1.0", type=str,
                    help="comma-separated shift candidates")
+    p.add_argument("--act_bits_overrides", default="", type=str,
+                   help="per-site act-precision overrides, "
+                        "'site=bits,site=bits' (e.g. "
+                        "'model.layer3.5=8'): the reference's 8-bit "
+                        "head/stem rule generalized to any act site — "
+                        "lift the one or two dominant sites a deep net's "
+                        "A4 accuracy is bottlenecked on (see "
+                        "ACCURACY_r50_r5.md)")
     p.add_argument("--act_shift_targets", default="1.0,0.5", type=str,
                    help="comma-separated per-channel candidates for the "
                         "activation shift phase (--act_mode shift; the "

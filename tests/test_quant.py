@@ -184,3 +184,33 @@ class TestUniformWQ:
             want = np_fake_quant(w[c], float(qp.delta[c, 0]),
                                  float(qp.zero_point[c, 0]), 4, False)
             np.testing.assert_allclose(out[c], want, atol=1e-6)
+
+
+class TestActBitOverrides:
+    def test_per_site_override_applies_and_unknown_raises(self):
+        """Mixed-precision acts (quantize.calibrate_acts bit_overrides):
+        the 8-bit head/stem rule generalized to any act site (motivated
+        by the R50 A4 single-site bottleneck, ACCURACY_r50_r5.md)."""
+        import jax
+        import pytest
+
+        import shiftedscalequantization_tpu as ssq
+        from shiftedscalequantization_tpu.models import resnet
+
+        graph = resnet.build_resnet(18, num_classes=10, variant="cifar")
+        raw = resnet.init_params(jax.random.PRNGKey(0), graph)
+        cfg = ssq.QuantConfig(n_bits_w=4, n_bits_a=4)
+        params, qstate = ssq.prepare_model(graph, raw, cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+        qs = ssq.calibrate_acts(graph, params, qstate, x, cfg,
+                                bit_overrides={"model.layer2.0": 8})
+        assert qs["model.layer2.0"].n_bits == 8       # block act site
+        assert qs["model.layer3.0"].n_bits == 4       # untouched
+        # forward runs with the mixed grids
+        from shiftedscalequantization_tpu.quantize import act_flags
+        fl = act_flags(graph, cfg, base=ssq.Flags().all_weights(graph))
+        out = ssq.forward(graph, params, qs, x, fl)
+        assert out.shape == (8, 10)
+        with pytest.raises(KeyError):
+            ssq.calibrate_acts(graph, params, qstate, x, cfg,
+                               bit_overrides={"no.such.site": 8})
