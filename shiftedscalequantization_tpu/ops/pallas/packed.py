@@ -65,18 +65,30 @@ def _pqmm_kernel(x_ref, wp_ref, zp_w_ref, scale_ref, bias_ref, qp_ref,
     # quantize activation tile to centered int8
     q = jnp.clip(jnp.round(x_ref[:] / delta) + zp, lo, hi) - zp
     xi = q.astype(jnp.int8)
-    # unpack weights in VMEM: pltpu.repeat TILES the rows
-    # ([w0..w_{kp-1}] * f), so with the strided packing row k holds word
-    # k % kp and the in-word slot is k // kp
+    # unpack weights in VMEM, slot-sliced: with the strided packing,
+    # unpacked row r of slot i (r in [0,kp)) is (word[r] >> i*bits) &
+    # mask, and those rows are exactly the contiguous K-range
+    # [i*kp, (i+1)*kp). Doing f slot dots of (TM,kp)x(kp,TN) instead of
+    # one (TM,K)x(K,TN) dot on a materialized (K,TN) int32 intermediate
+    # (the round-1 form: pltpu.repeat + per-row variable shift) removes
+    # the 4-byte-per-code VMEM copy and the iota/variable-shift work —
+    # the unpack was the kernel's bottleneck in the weight-dominated
+    # regime (16k fc, M=1: 0.73 ms vs int8's 0.49 — the HBM win was
+    # being eaten by unpack overhead).
     words = wp_ref[:]                                       # (kp, TN)
     kp = words.shape[0]
-    rep = pltpu.repeat(words, f, axis=0)[:k]                # (K, TN)
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-    shift = (kidx // kp) * bits
-    raw = (jax.lax.shift_right_logical(rep, shift)) & mask  # (K, TN)
-    wc = (raw.astype(jnp.float32) - zp_w_ref[:]).astype(jnp.int8)
-    acc = jax.lax.dot_general(xi, wc, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
+    acc = jnp.zeros((xi.shape[0], words.shape[1]), jnp.int32)
+    for i in range(f):
+        lo_k = i * kp
+        if lo_k >= k:
+            break
+        hi_k = min(lo_k + kp, k)        # last slot may be partial
+        raw = (jax.lax.shift_right_logical(words, i * bits)) & mask
+        wc = (raw.astype(jnp.float32) - zp_w_ref[:]).astype(jnp.int8)
+        acc = acc + jax.lax.dot_general(
+            xi[:, lo_k:hi_k], wc[: hi_k - lo_k],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * (scale_ref[:] * delta) + bias_ref[:]
     if relu:
         out = jnp.maximum(out, 0.0)
