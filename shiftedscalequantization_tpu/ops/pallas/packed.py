@@ -77,6 +77,9 @@ def _pqmm_kernel(x_ref, wp_ref, zp_w_ref, scale_ref, bias_ref, qp_ref,
     # being eaten by unpack overhead).
     words = wp_ref[:]                                       # (kp, TN)
     kp = words.shape[0]
+    # per-OC weight zero points are integral codes: subtract in the
+    # int32 domain (one convert per code instead of the f32 round-trip)
+    zp_w_i = jnp.round(zp_w_ref[:]).astype(jnp.int32)
     acc = jnp.zeros((xi.shape[0], words.shape[1]), jnp.int32)
     for i in range(f):
         lo_k = i * kp
@@ -84,7 +87,7 @@ def _pqmm_kernel(x_ref, wp_ref, zp_w_ref, scale_ref, bias_ref, qp_ref,
             break
         hi_k = min(lo_k + kp, k)        # last slot may be partial
         raw = (jax.lax.shift_right_logical(words, i * bits)) & mask
-        wc = (raw.astype(jnp.float32) - zp_w_ref[:]).astype(jnp.int8)
+        wc = (raw - zp_w_i).astype(jnp.int8)
         acc = acc + jax.lax.dot_general(
             xi[:, lo_k:hi_k], wc[: hi_k - lo_k],
             (((1,), (0,)), ((), ())),
