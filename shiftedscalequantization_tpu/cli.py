@@ -191,6 +191,7 @@ def main(argv=None):
         fused_dequant=args.fused_dequant,
         post_round_frac=args.post_round_frac,
         warmstart_frac=args.fused_warmstart,
+        warmstart_lr=args.fused_warmstart_lr or None,
         opt_beta=args.opt_beta, opt_output_affine=args.bias_cal,
         rec_loss=args.opt_mode, auto_candidates=args.auto_candidates,
         act_p=args.p)

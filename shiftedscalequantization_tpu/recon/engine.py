@@ -134,6 +134,11 @@ class ReconSettings:
     # With freeze the remaining budget optimizes rounding on the solved
     # grids, which is exactly what survives hardening.
     warmstart_freeze: bool = True
+    # optional LR override for the pre-solve (None = s.lr). The
+    # pre-solve only has warmstart_frac * iters steps to converge the
+    # selection; a hotter LR can buy deep-layer selection quality at
+    # tight budgets without touching the rounding phases.
+    warmstart_lr: Optional[float] = None
     # candidate set for the activation shifted-scale phase
     # (reconstruct_act_shift / CLI --act_mode shift): per-channel step
     # multipliers. The reference's intended ChannelQuantAct set is
@@ -520,7 +525,9 @@ def reconstruct_node(graph, params, qstate, node_name: str,
             == "effective"):
         ws_iters = int(s.iters * s.warmstart_frac)
         if ws_iters > 0:
-            s_ws = dataclasses.replace(s, mode="shift", iters=ws_iters)
+            s_ws = dataclasses.replace(
+                s, mode="shift", iters=ws_iters,
+                lr=s.warmstart_lr if s.warmstart_lr else s.lr)
             qs_ws, warm_metrics = reconstruct_node(
                 graph, params, qstate, node_name, cached_inp, cached_out,
                 s_ws, jax.random.fold_in(key, 877),

@@ -123,6 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "'effective' whenever max|st-1| > 1/8 (the "
                         "round-3 advantage demos collapsed to chance "
                         "because coarse candidates ran under 'unit')")
+    p.add_argument("--fused_warmstart_lr", default=0.0, type=float,
+                   help="LR override for the warm-start shift pre-solve "
+                        "(0 = use the main recon LR)")
     p.add_argument("--post_round_frac", default=0.5, type=float,
                    help="fused effective-dequant runs: fraction of the "
                         "budget spent on the post-harden rounding-only "
